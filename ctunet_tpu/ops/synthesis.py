@@ -1,0 +1,245 @@
+"""On-device self-supervised target synthesis (virtual craniectomy).
+
+TPU-native re-design of the reference's CPU transform pipeline
+(``ctunet/pytorch/transforms.py`` + ``ctunet/utilities.py:127-178``): pick a
+random nonzero voxel of a binary skull, rasterize a sphere / box / "flap"
+(cube + 2 cylinders) around it, mask it out — producing a (broken skull,
+extracted flap) training pair — then add salt-and-pepper noise.
+
+The reference runs this per sample in DataLoader worker processes with full
+volume ``np.argwhere`` + ``np.linalg.norm`` passes (SURVEY.md §3.2 hot loop).
+Here every step is a fused, statically-shaped XLA computation under
+``jax.random`` keys, vmappable over the batch and jittable inside the train
+step, so synthesis overlaps with and fuses into device compute:
+
+- random nonzero-voxel selection: Gumbel-max trick over the masked volume
+  (replaces data-dependent ``np.argwhere`` + choice,
+  ``transforms.py:249-252``);
+- shape rasterization: analytic coordinate-grid predicates (replaces
+  ``raster_geometry`` + ``np.indices`` norms, ``utilities.py:141-177``);
+- salt-and-pepper: two PRNG draws + boolean fusion (``transforms.py:13-49``).
+
+Behavioral notes vs the reference (documented quirks, SURVEY.md §5):
+- Q3: the reference's ``SaltAndPepper`` mutates its own ``noise_density``
+  so noise decays monotonically across a worker's lifetime. We implement the
+  evident intent instead: density ~ U(0, max_density) *per call*, stateless.
+- ``apply_plane_cond`` in ``random_blank_patch`` defaults to False and no
+  caller enables it; not reproduced.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _coords(shape: Tuple[int, int, int], dtype=jnp.float32):
+    """Broadcasted (z, y, x) index grids for a static volume shape."""
+    zz = jax.lax.broadcasted_iota(dtype, shape, 0)
+    yy = jax.lax.broadcasted_iota(dtype, shape, 1)
+    xx = jax.lax.broadcasted_iota(dtype, shape, 2)
+    return zz, yy, xx
+
+
+def sphere_keep_mask(shape, center, size) -> Array:
+    """1 outside the sphere, 0 inside (ref ``shape_3d`` sphere branch,
+    ``utilities.py:141-142,172-178``: inside = L2 distance <= size)."""
+    zz, yy, xx = _coords(shape)
+    d2 = (zz - center[0]) ** 2 + (yy - center[1]) ** 2 + (xx - center[2]) ** 2
+    return (d2 > size * size).astype(jnp.float32)
+
+
+def box_keep_mask(shape, center, size) -> Array:
+    """1 outside the box, 0 inside (ref ``shape_3d`` box branch: inside =
+    Chebyshev distance <= size, i.e. half-side = size)."""
+    zz, yy, xx = _coords(shape)
+    cheb = jnp.maximum(
+        jnp.maximum(jnp.abs(zz - center[0]), jnp.abs(yy - center[1])),
+        jnp.abs(xx - center[2]),
+    )
+    return (cheb > size).astype(jnp.float32)
+
+
+def flap_keep_mask(shape, center, size, c_diam) -> Array:
+    """1 outside the "flap" shape, 0 inside.
+
+    The flap (ref ``utilities.py:144-166``) is a cube of side ``size``
+    centered at ``center`` union two cylinders (axis 0 = z, height ``size``,
+    radius ``c_diam``) at the cube's two x-extremes, offset -size/2 in y —
+    mimicking burr holes of a craniectomy. Positions follow the reference's
+    relative-coordinate round trip (``rel = c/shape`` then
+    ``coord = rel*(shape-1)``).
+    """
+    zz, yy, xx = _coords(shape)
+    dims = jnp.asarray(shape, jnp.float32)
+    scale = (dims - 1.0) / dims  # rel -> coord round trip of raster_geometry
+    cz, cy, cx = (center[i] * scale[i] for i in range(3))
+
+    half = size / 2.0
+    cube = (
+        (jnp.abs(zz - cz) <= half)
+        & (jnp.abs(yy - cy) <= half)
+        & (jnp.abs(xx - cx) <= half)
+    )
+
+    ey = (center[1] - half) * scale[1]
+    ex1 = (center[2] - half) * scale[2]
+    ex2 = (center[2] + half) * scale[2]
+    in_z = jnp.abs(zz - cz) <= half
+    cyl1 = in_z & ((yy - ey) ** 2 + (xx - ex1) ** 2 <= c_diam * c_diam)
+    cyl2 = in_z & ((yy - ey) ** 2 + (xx - ex2) ** 2 <= c_diam * c_diam)
+
+    return 1.0 - (cube | cyl1 | cyl2).astype(jnp.float32)
+
+
+def random_nonzero_voxel(key: jax.Array, volume: Array):
+    """Uniformly sample a nonzero voxel index via the Gumbel-max trick.
+
+    Statically-shaped replacement for ``np.argwhere`` + random choice
+    (``transforms.py:249-252``). Returns ((z, y, x) float32, any_nonzero).
+    """
+    flat = volume.reshape(-1)
+    nonzero = flat > 0
+    g = jax.random.gumbel(key, flat.shape, jnp.float32)
+    scores = jnp.where(nonzero, g, -jnp.inf)
+    idx = jnp.argmax(scores)
+    shape = volume.shape
+    z = idx // (shape[1] * shape[2])
+    y = (idx // shape[2]) % shape[1]
+    x = idx % shape[2]
+    center = jnp.stack([z, y, x]).astype(jnp.float32)
+    return center, jnp.any(nonzero)
+
+
+def _radius_bounds(shape) -> Tuple[int, int]:
+    """Reference radius bounds (``transforms.py:265-268``)."""
+    min_radius = (min(shape) // 5) - 1
+    max_radius = int(max(min_radius, max(shape) // 3.5))
+    return min_radius, max(max_radius, min_radius + 1)
+
+
+def random_blank_patch(
+    key: jax.Array,
+    image: Array,
+    prob: float = 1.0,
+    p_type: str = "random",
+) -> Tuple[Array, Array]:
+    """Punch a random shape-shaped hole in a binary volume.
+
+    On-device equivalent of ``random_blank_patch``
+    (``transforms.py:241-300``): returns ``(masked_out, extracted)`` float32
+    volumes. With probability ``1-prob``, or when the volume is empty, the
+    image is returned unchanged with an all-zero extracted flap.
+    """
+    shape = image.shape
+    k_coin, k_pick, k_size, k_type, k_diam = jax.random.split(key, 5)
+
+    center, any_nz = random_nonzero_voxel(k_pick, image)
+
+    min_r, max_r = _radius_bounds(shape)
+    size = jax.random.randint(k_size, (), min_r, max_r).astype(jnp.float32)
+
+    c_diam = jax.random.uniform(k_diam, (), minval=0.25, maxval=1.0) * size / 4.0
+
+    masks = {
+        "sphere": lambda: sphere_keep_mask(shape, center, size),
+        "box": lambda: box_keep_mask(shape, center, size),
+        "flap": lambda: flap_keep_mask(shape, center, size, c_diam),
+    }
+    if p_type in masks:
+        keep = masks[p_type]()
+    else:  # random choice among the three (ref ``transforms.py:270-275``)
+        t = jax.random.randint(k_type, (), 0, 3)
+        keep = jax.lax.switch(
+            t, [masks["sphere"], masks["box"], masks["flap"]]
+        )
+
+    coin = jax.random.uniform(k_coin, ())
+    apply = (coin <= prob) & any_nz
+    keep = jnp.where(apply, keep, jnp.ones_like(keep))
+
+    img = (image > 0).astype(jnp.float32)
+    masked_out = img * keep
+    extracted = img * (1.0 - keep)
+    return masked_out, extracted
+
+
+def salt_and_pepper(
+    key: jax.Array,
+    img: Array,
+    p: float = 1.0,
+    noise_density: float = 0.2,
+    salt_ratio: float = 0.1,
+) -> Array:
+    """Binary salt-and-pepper noise (ref ``transforms.py:13-49``).
+
+    density ~ U(0, noise_density) per call (stateless fix of quirk Q3);
+    pepper clears voxels, salt sets them; applied with probability ``p``.
+    """
+    k_coin, k_d, k_black, k_white = jax.random.split(key, 4)
+    density = jax.random.uniform(k_d, (), minval=0.0, maxval=noise_density)
+    u_black = jax.random.uniform(k_black, img.shape)
+    u_white = jax.random.uniform(k_white, img.shape)
+    black = (u_black > density * (1.0 - salt_ratio)).astype(jnp.float32)
+    white = 1.0 - (u_white > density * salt_ratio).astype(jnp.float32)
+    noisy = jnp.maximum((img > 0).astype(jnp.float32) * black, white)
+    coin = jax.random.uniform(k_coin, ())
+    return jnp.where(coin <= p, noisy, img.astype(jnp.float32))
+
+
+def skull_random_hole(
+    key: jax.Array, image: Array, p: float = 1.0
+) -> Tuple[Array, Array]:
+    """Virtual craniectomy on one volume -> (broken skull, flap).
+
+    Equivalent of ``SkullRandomHole`` (``transforms.py:52-94``).
+    """
+    return random_blank_patch(key, image, prob=p)
+
+
+@partial(jax.jit, static_argnames=("noise_p", "noise_density"))
+def flap_rec_transform(
+    key: jax.Array,
+    volume: Array,
+    noise_p: float = 0.5,
+    noise_density: float = 0.05,
+):
+    """Full training-pair synthesis for the double-output flap problem.
+
+    Equivalent of ``flap_rec_transform`` (``transforms.py:131-134``) as
+    consumed by ``FlapRecWShapePrior2OTrainDataset.__getitem__``
+    (``datasets.py:195-235``): from a complete binary skull, produce
+    ``(broken_noisy, (full_skull, flap))`` — all float32, single volume,
+    no channel axis. vmap over a batch axis for batched synthesis.
+    """
+    k_hole, k_noise = jax.random.split(key)
+    full = (volume > 0).astype(jnp.float32)
+    broken, flap = skull_random_hole(k_hole, full, p=1.0)
+    broken = salt_and_pepper(
+        k_noise, broken, p=noise_p, noise_density=noise_density
+    )
+    return broken, (full, flap)
+
+
+def random_flip(key: jax.Array, img: Array, probability: float = 0.5) -> Array:
+    """Flip one random spatial axis with given probability
+    (ref ``transforms.py:338-353``, single volume (D, H, W))."""
+    k_coin, k_ax = jax.random.split(key)
+    ax = jax.random.randint(k_ax, (), 0, 3)
+    flipped = jax.lax.switch(
+        ax,
+        [
+            lambda v: jnp.flip(v, 0),
+            lambda v: jnp.flip(v, 1),
+            lambda v: jnp.flip(v, 2),
+        ],
+        img,
+    )
+    coin = jax.random.uniform(k_coin, ())
+    return jnp.where(coin <= probability, flipped, img)

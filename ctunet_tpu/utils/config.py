@@ -1,0 +1,133 @@
+"""INI config system with type-prefixed keys.
+
+Reimplements the reference's config convention (``ctunet/utilities.py:215-256``
+in vfmatzkin/ct-unet): keys in ``.ini`` files carry a two-character type
+prefix — ``i_`` (int), ``f_`` (float), ``b_`` (bool), ``s_`` (string); any
+other key is read as a string. Sections are cosmetic. Parsed values are merged
+over a defaults dict so configs only need to name what they change.
+
+The defaults dict mirrors the reference trainer's defaults
+(``ctunet/pytorch/Model.py:50-87``) plus TPU-specific knobs that have no
+reference counterpart (mesh shape, dtype policy, patch inference).
+"""
+
+from __future__ import annotations
+
+import configparser
+import os
+from typing import Any, Dict, Optional
+
+
+def default_params() -> Dict[str, Any]:
+    """Fresh copy of the full default parameter dict.
+
+    Keys marked [ref] mirror ``Model.py:50-87``; keys marked [tpu] are new.
+    """
+    return {
+        # DEFAULT [ref]
+        "train_flag": False,
+        "test_flag": False,
+        # MODEL [ref]
+        "name": None,
+        "model_class": None,
+        "problem_handler": None,
+        # TRAINING [ref]
+        "device": None,
+        "n_epochs": None,
+        "batch_size": None,
+        "dice_lambda": None,
+        "ce_lambda": None,
+        "acnn_path": None,
+        "acnn_lambda": None,
+        "msel_lambda": None,
+        # OPTIMIZER [ref]
+        "optimizer": None,
+        "learning_rate": None,
+        "momentum": None,
+        "weight_decay": None,
+        # PATHS [ref]
+        "single_file": None,
+        "workspace_path": None,
+        "train_files_csv": None,
+        "validation_files_csv": None,
+        "test_files_csv": None,
+        "tensorboard_run_path": None,
+        # MISC [ref]
+        "autosave_epochs": None,
+        "save_dice_plots": None,
+        "save_hd_plots": False,       # dynamic key in the reference
+        "scheduler": None,            # dynamic key in the reference
+        "resume_model": "",
+        "show_model_summary": None,
+        "n_workers": None,
+        "force_resumed": False,
+        # TPU-NATIVE EXTENSIONS [tpu]
+        "atlas_dir": "~/headctools/assets/atlas/reg",  # ref hardcodes this
+        "compute_dtype": "bfloat16",  # forward/backward compute precision
+        "param_dtype": "float32",
+        "seed": 0,
+        "mesh_data": 0,               # 0 = all visible devices on the data axis
+        "mesh_spatial": 1,
+        "patch_inference": False,     # sliding-window patch inference
+        "patch_size": 128,
+        "patch_overlap": 0.5,
+        "prefetch_depth": 2,          # host->device pipeline depth
+        "debug_nans": False,          # jax.debug_nans (ref: detect_anomaly)
+        "profile_dir": "",            # jax.profiler trace output dir
+        "log_every": 1,               # console loss print frequency (batches)
+        "remat": True,                # activation recomputation per block
+        "drop_remainder": True,
+        "largest_cc": False,          # postprocess: keep largest component
+    }
+
+
+_PREFIX_PARSERS = {
+    "i_": lambda section, key: section.getint(key),
+    "f_": lambda section, key: section.getfloat(key),
+    "b_": lambda section, key: section.getboolean(key),
+    "s_": lambda section, key: section.get(key),
+}
+
+
+def set_cfg_params(
+    cfg_file: Optional[str] = None,
+    default_dict: Optional[Dict[str, Any]] = None,
+) -> Optional[Dict[str, Any]]:
+    """Parse an INI file into a typed params dict merged over defaults.
+
+    Matches the reference semantics (``utilities.py:215-256``): the first two
+    characters of each key select the type; unprefixed keys are strings; later
+    sections override earlier ones; defaults fill in everything not set.
+    """
+    if cfg_file is None:
+        return None
+    if not os.path.exists(cfg_file):
+        raise FileNotFoundError(
+            f"The provided cfg file does not exist ({cfg_file})."
+        )
+
+    out = dict(default_dict) if default_dict is not None else {}
+    config = configparser.ConfigParser()
+    config.read(cfg_file)
+
+    for section_name in config.sections():
+        section = config[section_name]
+        for key, value in config.items(section_name):
+            prefix = key[:2]
+            parser = _PREFIX_PARSERS.get(prefix)
+            if parser is not None:
+                out[key[2:]] = parser(section, key)
+            else:
+                out[key] = value
+    return out
+
+
+# Public alias matching the reference package API (``ctunet/__init__.py:1``).
+load_params = set_cfg_params
+
+
+def print_params_dict(dic: Dict[str, Any]) -> None:
+    """Print params in a table-like format (ref ``utilities.py:259-268``)."""
+    print("{:<20} {:<30}".format("Parameter", "Value"))
+    for key, v in dic.items():
+        print("{:<15} {:<10}".format(key, str(v)))

@@ -1,0 +1,217 @@
+"""Pure-numpy NIfTI-1 reader/writer (host-edge I/O).
+
+The reference delegates all NIfTI I/O and metadata handling to SimpleITK
+(``ctunet/pytorch/datasets.py:92-95``, ``ctunet/utilities.py:196-212``). This
+framework owns its ingest path instead: a dependency-free NIfTI-1 codec that
+reads/writes ``.nii`` / ``.nii.gz`` with full affine (origin / spacing /
+direction) preservation, so predictions land back in the scanner's physical
+space exactly like the reference's ``get_sitk_img`` path
+(``ctunet/pytorch/ProblemHandler.py:336-346``).
+
+Array convention matches ``sitk.GetArrayFromImage``: index order ``[z, y, x]``
+(depth, height, width), i.e. the reverse of the on-disk fastest-varying-x
+order. Metadata accessors (``origin``, ``spacing``, ``direction``) use the
+ITK/LPS convention so values round-trip bit-identically against
+SimpleITK-produced files.
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+from dataclasses import dataclass, field
+from typing import Tuple
+
+import numpy as np
+
+_HDR_SIZE = 348
+_MAGIC_SINGLE = b"n+1\x00"
+
+# NIfTI-1 datatype codes <-> numpy dtypes.
+_DTYPES = {
+    2: np.uint8,
+    4: np.int16,
+    8: np.int32,
+    16: np.float32,
+    64: np.float64,
+    256: np.int8,
+    512: np.uint16,
+    768: np.uint32,
+    1024: np.int64,
+    1280: np.uint64,
+}
+_DTYPE_CODES = {np.dtype(v): k for k, v in _DTYPES.items()}
+
+# RAS (NIfTI) -> LPS (ITK/DICOM): negate x and y world axes.
+_RAS2LPS = np.diag([-1.0, -1.0, 1.0, 1.0])
+
+
+@dataclass
+class NiftiImage:
+    """A 3D volume plus its physical-space affine.
+
+    :param data: numpy array indexed ``[z, y, x]`` (sitk convention).
+    :param affine: 4x4 voxel(x,y,z)->world(RAS) transform (NIfTI convention).
+    """
+
+    data: np.ndarray
+    affine: np.ndarray = field(
+        default_factory=lambda: np.eye(4, dtype=np.float64)
+    )
+
+    # -- ITK/LPS-convention metadata (mirrors sitk Get{Origin,Spacing,..}) --
+
+    @property
+    def spacing(self) -> Tuple[float, float, float]:
+        m = self.affine[:3, :3]
+        return tuple(float(np.linalg.norm(m[:, i])) for i in range(3))
+
+    @property
+    def origin(self) -> Tuple[float, float, float]:
+        o = (_RAS2LPS @ self.affine)[:3, 3]
+        return tuple(float(v) for v in o)
+
+    @property
+    def direction(self) -> Tuple[float, ...]:
+        m = (_RAS2LPS @ self.affine)[:3, :3]
+        sp = np.array(self.spacing)
+        sp[sp == 0] = 1.0
+        return tuple(float(v) for v in (m / sp).flatten())
+
+    @property
+    def shape_zyx(self) -> Tuple[int, int, int]:
+        return tuple(self.data.shape)  # type: ignore[return-value]
+
+    def with_data(self, data: np.ndarray) -> "NiftiImage":
+        """New image sharing this image's physical space (metadata copy)."""
+        return NiftiImage(np.asarray(data), self.affine.copy())
+
+
+def _open(path: str, mode: str):
+    if str(path).endswith(".gz"):
+        return gzip.open(path, mode)
+    return open(path, mode)
+
+
+def read(path: str) -> NiftiImage:
+    """Read a ``.nii`` / ``.nii.gz`` file."""
+    with _open(path, "rb") as f:
+        raw = f.read()
+
+    if len(raw) < _HDR_SIZE:
+        raise ValueError(f"{path}: truncated NIfTI header")
+
+    sizeof_hdr = struct.unpack_from("<i", raw, 0)[0]
+    endian = "<"
+    if sizeof_hdr != _HDR_SIZE:
+        sizeof_hdr_be = struct.unpack_from(">i", raw, 0)[0]
+        if sizeof_hdr_be == _HDR_SIZE:
+            endian = ">"
+        else:
+            raise ValueError(f"{path}: not a NIfTI-1 file")
+
+    dim = struct.unpack_from(endian + "8h", raw, 40)
+    datatype = struct.unpack_from(endian + "h", raw, 70)[0]
+    pixdim = struct.unpack_from(endian + "8f", raw, 76)
+    vox_offset = int(struct.unpack_from(endian + "f", raw, 108)[0])
+    scl_slope = struct.unpack_from(endian + "f", raw, 112)[0]
+    scl_inter = struct.unpack_from(endian + "f", raw, 116)[0]
+    qform_code = struct.unpack_from(endian + "h", raw, 252)[0]
+    sform_code = struct.unpack_from(endian + "h", raw, 254)[0]
+
+    ndim = dim[0]
+    if not 1 <= ndim <= 7:
+        raise ValueError(f"{path}: bad ndim {ndim}")
+    shape_xyz = [max(1, d) for d in dim[1 : 1 + max(3, ndim)]][:3]
+    nvox = int(np.prod(shape_xyz))
+    extra = int(np.prod([max(1, d) for d in dim[4 : 1 + ndim]])) if ndim > 3 else 1
+    if extra != 1:
+        raise ValueError(f"{path}: only 3D volumes supported, got dim={dim}")
+
+    if datatype not in _DTYPES:
+        raise ValueError(f"{path}: unsupported datatype code {datatype}")
+    dtype = np.dtype(_DTYPES[datatype]).newbyteorder(endian)
+
+    data = np.frombuffer(raw, dtype=dtype, count=nvox, offset=vox_offset)
+    # Disk order is x-fastest; C-reshape with reversed shape gives [z, y, x].
+    data = data.reshape(shape_xyz[::-1]).astype(dtype.newbyteorder("="))
+
+    if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
+        slope = scl_slope if scl_slope != 0.0 else 1.0
+        data = data.astype(np.float32) * slope + scl_inter
+
+    affine = _affine_from_header(
+        endian, raw, sform_code, qform_code, pixdim, shape_xyz
+    )
+    return NiftiImage(data=data, affine=affine)
+
+
+def _affine_from_header(endian, raw, sform_code, qform_code, pixdim, shape_xyz):
+    if sform_code > 0:
+        srow_x = struct.unpack_from(endian + "4f", raw, 280)
+        srow_y = struct.unpack_from(endian + "4f", raw, 296)
+        srow_z = struct.unpack_from(endian + "4f", raw, 312)
+        affine = np.eye(4)
+        affine[0, :] = srow_x
+        affine[1, :] = srow_y
+        affine[2, :] = srow_z
+        return affine
+    if qform_code > 0:
+        b, c, d = struct.unpack_from(endian + "3f", raw, 256)
+        ox, oy, oz = struct.unpack_from(endian + "3f", raw, 268)
+        a2 = max(0.0, 1.0 - b * b - c * c - d * d)
+        a = float(np.sqrt(a2))
+        rot = np.array(
+            [
+                [a * a + b * b - c * c - d * d, 2 * (b * c - a * d), 2 * (b * d + a * c)],
+                [2 * (b * c + a * d), a * a + c * c - b * b - d * d, 2 * (c * d - a * b)],
+                [2 * (b * d - a * c), 2 * (c * d + a * b), a * a + d * d - b * b - c * c],
+            ]
+        )
+        qfac = -1.0 if pixdim[0] == -1.0 else 1.0
+        sp = np.array([pixdim[1], pixdim[2], pixdim[3] * qfac])
+        affine = np.eye(4)
+        affine[:3, :3] = rot * sp
+        affine[:3, 3] = [ox, oy, oz]
+        return affine
+    # Fall back: spacing-only affine.
+    affine = np.diag([pixdim[1] or 1.0, pixdim[2] or 1.0, pixdim[3] or 1.0, 1.0])
+    return affine
+
+
+def write(path: str, img: NiftiImage) -> None:
+    """Write a ``.nii`` / ``.nii.gz`` file with full affine preservation."""
+    data = np.ascontiguousarray(img.data)
+    if data.ndim != 3:
+        raise ValueError(f"expected 3D [z,y,x] data, got shape {data.shape}")
+    if data.dtype == np.bool_:
+        data = data.astype(np.uint8)
+    if data.dtype not in _DTYPE_CODES:
+        data = data.astype(np.float32)
+    dt_code = _DTYPE_CODES[data.dtype]
+    bitpix = data.dtype.itemsize * 8
+
+    nz, ny, nx = data.shape
+    affine = np.asarray(img.affine, dtype=np.float64)
+    spacing = [float(np.linalg.norm(affine[:3, i])) or 1.0 for i in range(3)]
+
+    hdr = bytearray(_HDR_SIZE)
+    struct.pack_into("<i", hdr, 0, _HDR_SIZE)
+    struct.pack_into("<8h", hdr, 40, 3, nx, ny, nz, 1, 1, 1, 1)
+    struct.pack_into("<h", hdr, 70, dt_code)
+    struct.pack_into("<h", hdr, 72, bitpix)
+    struct.pack_into("<8f", hdr, 76, 1.0, *spacing, 0.0, 0.0, 0.0, 0.0)
+    struct.pack_into("<f", hdr, 108, 352.0)  # vox_offset
+    struct.pack_into("<f", hdr, 112, 1.0)  # scl_slope
+    struct.pack_into("<f", hdr, 116, 0.0)  # scl_inter
+    struct.pack_into("<h", hdr, 252, 0)  # qform_code
+    struct.pack_into("<h", hdr, 254, 1)  # sform_code: scanner anat
+    struct.pack_into("<4f", hdr, 280, *affine[0, :])
+    struct.pack_into("<4f", hdr, 296, *affine[1, :])
+    struct.pack_into("<4f", hdr, 312, *affine[2, :])
+    hdr[344:348] = _MAGIC_SINGLE
+
+    with _open(path, "wb") as f:
+        f.write(bytes(hdr))
+        f.write(b"\x00\x00\x00\x00")  # extension flag -> offset 352
+        f.write(data.tobytes())
