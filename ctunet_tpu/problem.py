@@ -1,0 +1,288 @@
+"""Problem handlers: dataset binding + on-device target synthesis + losses +
+prediction writing.
+
+Parity target: ``ctunet/pytorch/ProblemHandler.py`` — a handler binds a
+(train dataset, test dataset) pair, computes the losses/metrics, and writes
+predictions. The composition shape is the reference's (config -> handler ->
+datasets), but synthesis runs on device inside the jitted train step and
+losses are pure functions of (prediction, target, lambdas).
+
+Loss composition parity:
+- single output: ``ProblemHandler.comp_losses_metrics``
+  (``ProblemHandler.py:44-102``) — CE vs argmax-decoded target + Dice loss,
+  each weighted and logged weighted;
+- double output: ``FlapRecWithShapePriorDoubleOut.comp_losses_metrics``
+  (``ProblemHandler.py:214-309``) — CE on both heads vs argmax targets,
+  Dice on the softmaxed heads, Dice-coefficient (and optional Hausdorff)
+  metrics on softmaxed heads.
+
+Note (quirk Q4, SURVEY.md §5): like the reference, CE consumes the models'
+post-sigmoid outputs as if they were logits; and for ``UNetSPSmall`` the
+heads are already softmaxed before loss softmaxing — reproduced as-is.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import registry
+from .data import datasets as ds
+from .ops import codecs, losses, synthesis
+from .utils import makedir, nifti
+
+
+class ProblemHandler:
+    """Base handler (ref ``ProblemHandler.py:21-102``)."""
+
+    #: set by subclasses
+    train_dataset_class = None
+    test_dataset_class = None
+    append_atlas: bool = False
+    double_output: bool = False
+
+    # ------------------------------------------------------------------
+    # On-device synthesis (train/val). Single-sample; trainer vmaps.
+    # ------------------------------------------------------------------
+
+    def synthesize(self, key: jax.Array, volume: jax.Array):
+        """(clean volume) -> (net input volume, target pytree). Override."""
+        raise NotImplementedError
+
+    def targets_from_pair(self, broken: jax.Array, flap: jax.Array):
+        """Targets for pre-augmented (broken, flap) pairs. Override where
+        supported (ref ``datasets.py:216-230``)."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support pre-augmented pairs"
+        )
+
+    # ------------------------------------------------------------------
+    # Losses / metrics (pure, jit-friendly)
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def compute_losses(prediction, target, cfg: Dict[str, Any]):
+        """Single-output loss (ref ``ProblemHandler.py:44-102``)."""
+        terms = {}
+        total = 0.0
+        ce_l = cfg.get("ce_lambda") or 0.0
+        dice_l = cfg.get("dice_lambda") or 0.0
+
+        if ce_l != 0:
+            target_am = jnp.argmax(target, axis=-1)
+            ce = ce_l * losses.softmax_cross_entropy(prediction, target_am)
+            terms["ce"] = ce
+            total = total + ce
+        if dice_l != 0:
+            dl = dice_l * losses.dice_loss(prediction, target)
+            terms["dice_loss"] = dl
+            total = total + dl
+        if cfg.get("save_dice_plots"):
+            terms["dice_coef"] = losses.dice_coeff(prediction, target)
+        terms["epoch_loss"] = total
+        return total, terms
+
+    # ------------------------------------------------------------------
+    # Prediction writing (host side)
+    # ------------------------------------------------------------------
+
+    def write_predictions(self, predictions, input_filepaths,
+                          output_folder_name, input_imgs=None):
+        """Single-output writer (ref ``ProblemHandler.py:116-163``):
+        argmax -> ``pred_<name>/<file>_fl.nii.gz`` (+ input copy ``_i``),
+        with the input's physical space re-attached."""
+        print(" Saving prediction for...")
+        saved = []
+        preds = np.asarray(predictions)
+        out_folder = None
+        name = None
+        src = None
+        for pred, inp_path in zip(preds, input_filepaths):
+            path, name = os.path.split(inp_path)
+            print("  " + name + "..")
+            out_folder = makedir(os.path.join(path, "pred_" + output_folder_name))
+            src = nifti.read(inp_path)
+            hard = np.argmax(pred, axis=-1).astype(np.float32)
+            o_name = name.replace(".nii.gz", "_fl.nii.gz")
+            out_path = os.path.join(out_folder, o_name)
+            nifti.write(out_path, src.with_data(hard))
+            saved.append(out_path)
+        if out_folder is not None:
+            orig = os.path.join(
+                out_folder, name.replace(".nii.gz", "_i.nii.gz")
+            )
+            nifti.write(orig, src)
+            saved.append(orig)
+        return saved
+
+
+class ImageTargetProblem(ProblemHandler):
+    """Generic NIfTI image->target problem (ref ``ProblemHandler.py:105-163``)."""
+
+
+@registry.register_problem("FlapRec")
+class FlapRec(ImageTargetProblem):
+    """Basic flap reconstruction (ref ``ProblemHandler.py:166-173``).
+
+    The reference's single-output train path is bit-rotted (quirk Q2); this
+    is the documented intent: input = broken skull, target = one-hot flap.
+    """
+
+    train_dataset_class = ds.FlapRecTrainDataset
+    test_dataset_class = ds.NiftiImageDataset
+    append_atlas = False
+
+    def synthesize(self, key, volume):
+        k_hole, k_noise = jax.random.split(key)
+        full = (volume > 0).astype(jnp.float32)
+        broken, flap = synthesis.skull_random_hole(k_hole, full, p=1.0)
+        broken = synthesis.salt_and_pepper(
+            k_noise, broken, p=0.5, noise_density=0.05
+        )
+        return broken, codecs.one_hot(flap, 2)
+
+
+@registry.register_problem("FlapRecWithShapePrior")
+class FlapRecWithShapePrior(FlapRec):
+    """Flap reconstruction with atlas input channel
+    (ref ``ProblemHandler.py:176-188``)."""
+
+    train_dataset_class = ds.FlapRecWShapePriorTrainDataset
+    test_dataset_class = ds.NiftiImageWithAtlasDataset
+    append_atlas = True
+
+
+@registry.register_problem("FlapRecWithShapePriorDoubleOut")
+class FlapRecWithShapePriorDoubleOut(ImageTargetProblem):
+    """Double-output flap reconstruction with shape prior — the primary
+    (only non-bit-rotted) reference train path
+    (ref ``ProblemHandler.py:191-354``)."""
+
+    train_dataset_class = ds.FlapRecWShapePrior2OTrainDataset
+    test_dataset_class = ds.NiftiImageWithAtlasDataset
+    append_atlas = True
+    double_output = True
+
+    def __init__(self, with_sp: bool = True):
+        if not with_sp:  # FlapRecDoubleOut configuration
+            self.train_dataset_class = ds.FlapRec2OTrainDataset
+            self.test_dataset_class = ds.NiftiImageDataset
+            self.append_atlas = False
+
+    def synthesize(self, key, volume):
+        broken, (full, flap) = synthesis.flap_rec_transform(key, volume)
+        return broken, (codecs.one_hot(full, 2), codecs.one_hot(flap, 2))
+
+    def targets_from_pair(self, broken, flap):
+        full = jnp.clip(broken + flap, 0.0, 1.0)
+        return broken, (codecs.one_hot(full, 2), codecs.one_hot(flap, 2))
+
+    @staticmethod
+    def compute_losses(prediction, target, cfg: Dict[str, Any]):
+        """Double-output loss (ref ``ProblemHandler.py:214-309``)."""
+        full_skull_p, flap_p = prediction
+        full_skull_t, flap_t = target
+        terms = {}
+        total = 0.0
+        ce_l = cfg.get("ce_lambda") or 0.0
+        dice_l = cfg.get("dice_lambda") or 0.0
+
+        need_softmax = dice_l != 0 or cfg.get("save_dice_plots")
+        if need_softmax:
+            full_sm = jax.nn.softmax(full_skull_p, axis=-1)
+            flap_sm = jax.nn.softmax(flap_p, axis=-1)
+
+        if ce_l != 0:
+            full_am = jnp.argmax(full_skull_t, axis=-1)
+            flap_am = jnp.argmax(flap_t, axis=-1)
+            ce_sk = ce_l * losses.softmax_cross_entropy(full_skull_p, full_am)
+            ce_fl = ce_l * losses.softmax_cross_entropy(flap_p, flap_am)
+            terms["ce_sk"] = ce_sk
+            terms["ce_fl"] = ce_fl
+            total = total + ce_sk + ce_fl
+
+        if dice_l != 0:
+            dl_sk = dice_l * losses.dice_loss(full_sm, full_skull_t)
+            dl_fl = dice_l * losses.dice_loss(flap_sm, flap_t)
+            terms["dice_loss_sk"] = dl_sk
+            terms["dice_loss_fl"] = dl_fl
+            total = total + dl_sk + dl_fl
+
+        if cfg.get("save_dice_plots"):
+            terms["dice_coef_sk"] = losses.dice_coeff(full_sm, full_skull_t)
+            terms["dice_coef_fl"] = losses.dice_coeff(flap_sm, flap_t)
+
+        terms["epoch_loss"] = total
+        return total, terms
+
+    def host_metrics(self, prediction, target, cfg) -> Dict[str, float]:
+        """Hausdorff distance (display metric; host EDT — see ops.losses)."""
+        out = {}
+        if cfg.get("save_hd_plots"):
+            full_p, flap_p = prediction
+            full_t, flap_t = target
+            full_sm = jax.nn.softmax(full_p, axis=-1)
+            flap_sm = jax.nn.softmax(flap_p, axis=-1)
+            out["hd_coef_sk"] = losses.hausdorff(full_sm, full_t)
+            out["hd_coef_fl"] = losses.hausdorff(flap_sm, flap_t)
+        return out
+
+    def write_predictions(self, predictions, input_filepaths,
+                          output_folder_name, input_imgs=None):
+        """Double-output writer (ref ``ProblemHandler.py:311-354``):
+        ``<file>_sk`` + ``<file>_fl`` + input copy ``_i`` per sample."""
+        print(" Saving prediction for...")
+        encoded_full, encoded_flap = predictions
+        encoded_full = np.asarray(encoded_full)
+        encoded_flap = np.asarray(encoded_flap)
+        saved = []
+        for pred_sk, pred_fl, inp_path in zip(
+            encoded_full, encoded_flap, input_filepaths
+        ):
+            path, name = os.path.split(inp_path)
+            print("  " + name + "..")
+            out_folder = makedir(
+                os.path.join(path, "pred_" + output_folder_name)
+            )
+            src = nifti.read(inp_path)
+            for pred, sfx in ((pred_sk, "sk"), (pred_fl, "fl")):
+                hard = np.argmax(pred, axis=-1).astype(np.float32)
+                o_name = name.replace(".nii.gz", f"_{sfx}.nii.gz")
+                out_path = os.path.join(out_folder, o_name)
+                nifti.write(out_path, src.with_data(hard))
+                saved.append(out_path)
+            orig = os.path.join(
+                out_folder, name.replace(".nii.gz", "_i.nii.gz")
+            )
+            nifti.write(orig, src)
+            saved.append(orig)
+        return saved
+
+
+@registry.register_problem("FlapRecDoubleOut")
+class FlapRecDoubleOut(FlapRecWithShapePriorDoubleOut):
+    """Double output without shape prior (ref ``ProblemHandler.py:357-359``)."""
+
+    def __init__(self):
+        super().__init__(with_sp=False)
+
+
+@registry.register_problem("DenoisingAE")
+class DenoisingAE(ImageTargetProblem):
+    """Denoising autoencoder (ref ``ProblemHandler.py:362-371``): salt &
+    pepper noise in, clean skull out."""
+
+    train_dataset_class = ds.BinaryDenoisingAEDatasetv2
+    test_dataset_class = ds.NiftiImageDataset
+    append_atlas = False
+
+    def synthesize(self, key, volume):
+        full = (volume > 0).astype(jnp.float32)
+        noisy = synthesis.salt_and_pepper(
+            key, full, p=0.8, noise_density=0.3
+        )
+        return noisy, codecs.one_hot(full, 2)
