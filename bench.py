@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Benchmark: UNetSP CT-volume inference throughput (volumes/sec/chip).
+
+Headline config of the reference (``examples/UNetSPDO/FlapRecSP2O.ini``):
+UNetSP at 224x304x304, batch 1 — skull + atlas in, (full skull, flap) out.
+This framework runs it whole-volume in bf16 on one TPU chip (the reference's
+inference mode, SURVEY.md §3.4); the baseline is the reference's own PyTorch
+implementation on CPU (it ships no GPU numbers — SURVEY.md §6), measured by
+``python bench.py --measure-baseline`` and stored in BASELINE_MEASURED.json.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "volumes/sec", "vs_baseline": N}``.
+"""
+
+import json
+import os
+import sys
+import time
+
+SHAPE = (224, 304, 304)
+BASELINE_FILE = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
+METRIC = "UNetSP 224x304x304 skull-completion inference, volumes/sec/chip"
+
+
+def measure_torch_baseline(n_iters: int = 3) -> float:
+    """Reference implementation (its own code, loaded by path) on CPU."""
+    import importlib.util
+
+    import numpy as np
+    import torch
+
+    spec = importlib.util.spec_from_file_location(
+        "refmodels", "/root/reference/ctunet/pytorch/models.py"
+    )
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    model = ref.UNetSP()
+    model.eval()
+    x = torch.tensor(
+        np.random.default_rng(0)
+        .random((1, 2, *SHAPE))
+        .astype("float32")
+    )
+    with torch.no_grad():
+        t0 = time.perf_counter()
+        model(x)  # warmup (allocator, thread pool)
+        warm = time.perf_counter() - t0
+        times = []
+        for _ in range(n_iters):
+            t0 = time.perf_counter()
+            model(x)
+            times.append(time.perf_counter() - t0)
+    sec = min(times)
+    print(
+        f"torch-CPU UNetSP: warmup {warm:.1f}s, best of {n_iters}: {sec:.2f}s"
+        f" -> {1.0 / sec:.4f} volumes/sec",
+        file=sys.stderr,
+    )
+    return 1.0 / sec
+
+
+def measure_jax(n_iters: int = 10) -> float:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ctunet_tpu.models import build_model
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    model = build_model(
+        "UNetSP", compute_dtype="bfloat16", use_checkpoint=False
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).random((1, *SHAPE, 2)).astype("float32"),
+        jnp.bfloat16,
+    )
+    variables = jax.jit(model.init, static_argnums=(2,))(
+        jax.random.key(0), x, False
+    )
+
+    @jax.jit
+    def forward(variables, x):
+        return model.apply(variables, x, False)
+
+    t0 = time.perf_counter()
+    out = forward(variables, x)
+    jax.block_until_ready(out)
+    print(f"compile+first run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    times = []
+    for _ in range(n_iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(forward(variables, x))
+        times.append(time.perf_counter() - t0)
+    sec = min(times)
+    print(
+        f"jax UNetSP: best of {n_iters}: {sec * 1000:.1f}ms -> "
+        f"{1.0 / sec:.2f} volumes/sec",
+        file=sys.stderr,
+    )
+    return 1.0 / sec
+
+
+def main() -> None:
+    if "--measure-baseline" in sys.argv:
+        vps = measure_torch_baseline()
+        with open(BASELINE_FILE, "w") as f:
+            json.dump(
+                {
+                    "metric": METRIC,
+                    "baseline": "reference ctunet UNetSP, PyTorch CPU, "
+                    "batch 1, float32 (loaded from /root/reference)",
+                    "volumes_per_sec": vps,
+                },
+                f,
+                indent=1,
+            )
+        print(json.dumps({"baseline_volumes_per_sec": vps}))
+        return
+
+    value = measure_jax()
+    baseline = None
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            baseline = json.load(f).get("volumes_per_sec")
+    vs_baseline = (value / baseline) if baseline else None
+    print(
+        json.dumps(
+            {
+                "metric": METRIC,
+                "value": round(value, 4),
+                "unit": "volumes/sec",
+                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""Checkpoint save/restore (orbax) + reference ``.pt`` resume.
+
+Improves on the reference checkpointing (``ctunet/pytorch/Model.py:266-296,
+448-472``, SURVEY.md §5): params AND optimizer state AND step are saved (the
+reference restarts Adam moments from zero on resume), with the same dual
+best-model/periodic-checkpoint semantics. Reference torch ``.pt`` files are
+accepted transparently on resume via the weight port.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from .utils import makedir
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+
+    return ocp
+
+
+def save_checkpoint(path: str, state, extra: Optional[Dict] = None) -> None:
+    """Save a TrainState (+ small metadata dict) to ``path`` (directory)."""
+    ocp = _ocp()
+    path = os.path.abspath(os.path.expanduser(path))
+    makedir(os.path.dirname(path))
+    payload = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, payload, force=True)
+    if extra:
+        # Orbax StandardCheckpointer holds arrays/numbers only; metadata
+        # (epoch, model class, ...) goes in a JSON sidecar.
+        import json
+
+        with open(path + ".meta.json", "w") as f:
+            json.dump(extra, f)
+
+
+def restore_checkpoint(path: str, template_state=None) -> Dict[str, Any]:
+    """Restore a checkpoint dir. With a template TrainState, arrays come back
+    with matching structure/dtypes; otherwise raw pytrees."""
+    ocp = _ocp()
+    path = os.path.abspath(os.path.expanduser(path))
+    with ocp.StandardCheckpointer() as ckptr:
+        if template_state is not None:
+            template = {
+                "params": template_state.params,
+                "batch_stats": template_state.batch_stats,
+                "opt_state": template_state.opt_state,
+                "step": template_state.step,
+            }
+            try:
+                return ckptr.restore(path, template)
+            except Exception:
+                # Checkpoint without opt_state (e.g. best-model-only save).
+                pass
+        return ckptr.restore(path)
+
+
+def is_torch_checkpoint(path: str) -> bool:
+    return os.path.isfile(os.path.expanduser(path)) and path.endswith(".pt")
+
+
+def load_any(path: str, model_class: str) -> Dict[str, Any]:
+    """Load model variables from an orbax dir OR a reference torch ``.pt``
+    (both formats the reference's ``load_model`` accepts, ``Model.py:448-472``,
+    modulo torch-pickled modules which also work via torch).
+
+    Returns ``{'params': ..., 'batch_stats': ...}``.
+    """
+    path = os.path.expanduser(path)
+    if is_torch_checkpoint(path):
+        from .models.torch_port import load_torch_checkpoint
+
+        return load_torch_checkpoint(path, model_class)
+    restored = restore_checkpoint(path)
+    return {
+        "params": restored["params"],
+        "batch_stats": restored["batch_stats"],
+    }

@@ -45,11 +45,20 @@ def load_atlas(im_size, atlas_dir: str) -> np.ndarray:
     if key in _CACHE:
         return _CACHE[key]
     if key not in ATLAS_FILES:
-        avail = ", ".join(str(t) for t in ATLAS_FILES)
-        raise FileNotFoundError(
-            f"The input images have a size ({key}) different than the "
-            f"available atlases sizes: {avail}."
+        # Fallback: the reference's file naming convention,
+        # atlas_<H>_<D>.nii.gz, discovered in atlas_dir (lets CLI users add
+        # new sizes without code).
+        guess = os.path.join(
+            os.path.expanduser(atlas_dir), f"atlas_{key[1]}_{key[0]}.nii.gz"
         )
+        if os.path.exists(guess):
+            ATLAS_FILES[key] = guess
+        else:
+            avail = ", ".join(str(t) for t in ATLAS_FILES)
+            raise FileNotFoundError(
+                f"The input images have a size ({key}) different than the "
+                f"available atlases sizes: {avail}."
+            )
     fname = ATLAS_FILES[key]
     path = fname if os.path.isabs(fname) else os.path.join(
         os.path.expanduser(atlas_dir), fname

@@ -1,0 +1,194 @@
+"""Jitted train/eval step builders.
+
+The TPU-native core of the trainer: one compiled XLA program per phase that
+fuses on-device target synthesis (virtual craniectomy), the atlas-channel
+concat, the bf16 forward/backward with per-block rematerialization, the loss,
+and the optax update — replacing the reference's per-batch CPU-worker
+synthesis + H2D copy + autograd pipeline (``ctunet/pytorch/Model.py:324-380``,
+SURVEY.md §3.2).
+
+Buffer donation on (params, opt_state, batch_stats) keeps weights in place
+in HBM across steps.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class TrainState(NamedTuple):
+    """Pytree carried across steps (all replicated over the mesh)."""
+
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def _net_input(images, atlas, compute_dtype):
+    """Stack the (synthesized) image and optional atlas as trailing channels.
+
+    images: (B, D, H, W); atlas: (D, H, W) constant or None.
+    """
+    chans = [images]
+    if atlas is not None:
+        chans.append(jnp.broadcast_to(atlas[None], images.shape))
+    x = jnp.stack(chans, axis=-1)
+    return x.astype(compute_dtype)
+
+
+def make_synth_fn(handler, from_pairs: bool = False) -> Callable:
+    """Batched on-device synthesis: (key, batch dict) -> (images, targets)."""
+
+    if from_pairs:
+        def synth(key, batch):
+            return jax.vmap(handler.targets_from_pair)(
+                batch["image"], batch["flap"]
+            )
+    else:
+        def synth(key, batch):
+            images = batch["image"]
+            keys = jax.random.split(key, images.shape[0])
+            return jax.vmap(handler.synthesize)(keys, images)
+
+    return synth
+
+
+def make_train_step(
+    model,
+    handler,
+    optimizer: optax.GradientTransformationExtraArgs,
+    loss_cfg: Dict[str, Any],
+    atlas=None,
+    compute_dtype=jnp.bfloat16,
+    from_pairs: bool = False,
+    donate: bool = True,
+):
+    """Build the jitted training step.
+
+    Step signature: ``(state, batch, key) -> (state, metrics)`` where batch
+    is ``{'image': (B,D,H,W) f32[, 'flap': ...]}`` already on device.
+    """
+    synth = make_synth_fn(handler, from_pairs)
+    atlas_c = None if atlas is None else jnp.asarray(atlas, jnp.float32)
+
+    def step(state: TrainState, batch, key):
+        images, targets = synth(key, batch)
+        x = _net_input(images, atlas_c, compute_dtype)
+
+        def loss_fn(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x,
+                True,
+                mutable=["batch_stats"],
+            )
+            loss, terms = handler.compute_losses(out, targets, loss_cfg)
+            return loss, (terms, mut["batch_stats"])
+
+        (loss, (terms, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = optimizer.update(
+            grads, state.opt_state, state.params, value=loss
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            new_params, new_stats, new_opt, state.step + 1
+        )
+        return new_state, terms
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(
+    model,
+    handler,
+    loss_cfg: Dict[str, Any],
+    atlas=None,
+    compute_dtype=jnp.bfloat16,
+    from_pairs: bool = False,
+):
+    """Validation step: synth targets, forward (running BN stats), losses."""
+    synth = make_synth_fn(handler, from_pairs)
+    atlas_c = None if atlas is None else jnp.asarray(atlas, jnp.float32)
+
+    def step(state: TrainState, batch, key):
+        images, targets = synth(key, batch)
+        x = _net_input(images, atlas_c, compute_dtype)
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x,
+            False,
+        )
+        _, terms = handler.compute_losses(out, targets, loss_cfg)
+        return terms, (out, targets)
+
+    return jax.jit(step)
+
+
+def make_predict_fn(
+    model,
+    atlas=None,
+    compute_dtype=jnp.bfloat16,
+):
+    """Whole-volume inference: (variables, images (B,D,H,W)) -> model out.
+
+    The reference's test path (``Model.py:298-380``): eval mode, no grad,
+    whole volume in one shot.
+    """
+    atlas_c = None if atlas is None else jnp.asarray(atlas, jnp.float32)
+
+    @jax.jit
+    def predict(variables, images):
+        x = _net_input(images, atlas_c, compute_dtype)
+        return model.apply(variables, x, False)
+
+    return predict
+
+
+def make_optimizer(params_cfg: Dict[str, Any]) -> optax.GradientTransformationExtraArgs:
+    """Build the optax optimizer chain from reference config keys.
+
+    Mirrors ``Model.initialize_optimizer`` (``Model.py:510-546``): adam
+    (amsgrad, like the reference), adamw, rmsprop(momentum), sgd; plus the
+    reference's optional ReduceLROnPlateau, stepped per batch with the batch
+    loss (quirk Q4) via ``optax.contrib.reduce_on_plateau`` consuming the
+    ``value=loss`` extra arg.
+    """
+    name = (params_cfg.get("optimizer") or "adam").lower()
+    lr = params_cfg.get("learning_rate") or 1e-4
+    wd = params_cfg.get("weight_decay") or 0.0
+    mom = params_cfg.get("momentum") or 0.0
+
+    if name == "adam":
+        base = optax.amsgrad(lr)
+        if wd:
+            base = optax.chain(optax.add_decayed_weights(wd), base)
+    elif name == "adamw":
+        base = optax.adamw(lr, weight_decay=wd)
+    elif name == "rmsprop":
+        base = optax.rmsprop(lr, momentum=mom)
+        if wd:
+            base = optax.chain(optax.add_decayed_weights(wd), base)
+    elif name == "sgd":
+        base = optax.sgd(lr, momentum=mom or None)
+        if wd:
+            base = optax.chain(optax.add_decayed_weights(wd), base)
+    else:
+        raise KeyError(f"Unknown optimizer '{name}'")
+
+    if params_cfg.get("scheduler"):
+        # torch ReduceLROnPlateau defaults: factor=0.1, patience=10.
+        base = optax.chain(
+            base,
+            optax.contrib.reduce_on_plateau(
+                factor=0.1, patience=10, rtol=1e-4, atol=0.0
+            ),
+        )
+    return optax.with_extra_args_support(base)

@@ -1,0 +1,625 @@
+"""Config-driven trainer/predictor — the framework's orchestration layer.
+
+Parity target: the reference ``Model`` class (``ctunet/pytorch/Model.py:
+24-562``): the constructor parses the config, resolves the workspace, binds
+the problem handler and datasets, then trains and/or tests according to the
+flags. Public surface matches (``Model(cfg_file)``, ``Model(params=dict)``,
+CLI ``ctunet-tpu <cfg.ini>``), while the internals are TPU-native:
+
+- one jitted, donated train step fusing on-device synthesis + atlas concat +
+  bf16 forward/backward (remat per block) + optax update (see ``steps.py``);
+- batch data parallelism via a ``jax.sharding.Mesh`` (replaces
+  ``nn.DataParallel``, ``Model.py:481-486``) with XLA-inserted collectives;
+- threaded host decode + device prefetch (replaces DataLoader workers);
+- orbax checkpoints carrying params+BN stats+optimizer state+step, with the
+  reference's best/periodic/ini-snapshot semantics (``Model.py:266-296``)
+  and transparent resume from reference torch ``.pt`` files;
+- TensorBoard scalars with the reference's tag scheme
+  ``{phase}/epoch/{key}`` (``Model.py:382-405``).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from shutil import copyfile
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import checkpoint as ckpt
+from . import problem as _problem  # noqa: F401  (registers handlers)
+from . import registry, steps
+from .data import atlas as atlas_mod
+from .data.pipeline import HostLoader, device_prefetch
+from .models import (
+    DOUBLE_OUTPUT_MODELS,
+    MODEL_INPUT_CHANNELS,
+    build_model,
+)
+from .parallel import batch_sharding, make_mesh, replicate_tree
+from .utils import (
+    default_params,
+    makedir,
+    print_params_dict,
+    set_cfg_params,
+    tic,
+    toc_eps,
+)
+
+# Spatial divisibility required per model (2^n_pool_levels).
+_POOL_MULTIPLE = {
+    "UNet5b2i3o": 32,
+    "UNetSPSmall": 32,
+}
+
+
+class _ScalarWriter:
+    """TensorBoard writer (torch SummaryWriter when available) + history."""
+
+    def __init__(self, logdir: Optional[str]):
+        self.history: Dict[str, list] = {}
+        self._tb = None
+        if logdir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(logdir)
+            except Exception:
+                self._tb = None
+
+    def add_scalar(self, tag: str, value: float, step: int) -> None:
+        self.history.setdefault(tag, []).append((step, float(value)))
+        if self._tb is not None:
+            self._tb.add_scalar(tag, float(value), step)
+
+    def close(self) -> None:
+        if self._tb is not None:
+            self._tb.close()
+
+
+class Model:
+    """Config-driven train/test entry point (ref ``Model.py:24-145``)."""
+
+    def __init__(self, cfg_file=None, params: Optional[Dict] = None):
+        if cfg_file and params:
+            params = None
+            print(
+                "You provided both a cfg file and a params dictionary. Only "
+                "the cfg file will be used"
+            )
+        if cfg_file is None and params is None:
+            print("No configuration file provided.")
+
+        # CLI passes argv as a list (ref ``Model.py:44``).
+        cfg_file = cfg_file[0] if isinstance(cfg_file, list) else cfg_file
+        if cfg_file and not os.path.exists(cfg_file):
+            raise FileNotFoundError(
+                f"The configuration file does not exists ({cfg_file})."
+            )
+
+        self.params = default_params()
+        if params is not None:
+            self.params.update(params)
+        if not params:
+            parsed = set_cfg_params(cfg_file, self.params)
+            if parsed is not None:
+                self.params = parsed
+
+        self.cfg_path = cfg_file
+        self.resolve_out_folder()
+
+        self.problem_handler = registry.get_problem(
+            self.params["problem_handler"]
+        )()
+        self.write_predictions = self.problem_handler.write_predictions
+
+        # Device/mesh selection: 'cpu' forces host; anything else ('cuda',
+        # 'tpu', None) uses the default backend (ref ``Model.py:122-126``).
+        if str(self.params.get("device")) == "cpu":
+            try:
+                self.devices = jax.devices("cpu")
+            except RuntimeError:
+                # cpu not among JAX_PLATFORMS (e.g. platform pinned by the
+                # environment); force it if no backend is live yet.
+                try:
+                    jax.config.update("jax_platforms", "cpu")
+                    self.devices = jax.devices("cpu")
+                except Exception:
+                    print(
+                        "WARNING: cpu backend unavailable; falling back to "
+                        "the default backend."
+                    )
+                    self.devices = jax.devices()
+        else:
+            self.devices = jax.devices()
+        # Default mesh: use all devices for batch DP only when the global
+        # batch divides evenly; otherwise run single-device (explicit
+        # mesh_data overrides).
+        mesh_data = self.params.get("mesh_data") or 0
+        if mesh_data == 0:
+            bs = int(self.params.get("batch_size") or 1)
+            nd = len(self.devices)
+            mesh_data = nd if (nd > 0 and bs % nd == 0) else 1
+        self.mesh = make_mesh(
+            mesh_data,
+            self.params.get("mesh_spatial") or 1,
+            self.devices,
+        )
+        self._data_sharding = (
+            batch_sharding(self.mesh)
+            if self.mesh.devices.size > 1
+            else None
+        )
+
+        if self.params.get("debug_nans"):
+            jax.config.update("jax_debug_nans", True)
+
+        self.models: Dict[str, Any] = {"main": None}
+        self.state: Optional[steps.TrainState] = None
+        self.data: Dict[str, Any] = {
+            "train_loader": None,
+            "validation_loader": None,
+            "test_loader": None,
+        }
+
+        self.load_datasets()
+
+        self.current_epoch = 0
+        self.best_model = {"epoch": 1, "value": None}
+        self.losses_and_metrics: Dict[str, list] = {}
+        self._atlas = None
+        self._from_pairs = False
+        self._rng_key = jax.random.key(int(self.params.get("seed") or 0))
+
+        self.writer = _ScalarWriter(self.params.get("tensorboard_run_path"))
+
+        if self.params.get("train_flag") is True:
+            self.train()
+        if self.params.get("test_flag") is True:
+            self.test()
+
+    # ------------------------------------------------------------------
+    # Paths / config
+    # ------------------------------------------------------------------
+
+    def resolve_out_folder(self) -> None:
+        """Workspace layout (ref ``Model.py:407-446``):
+        ``workspace/<ModelClass>_<Handler>/model/<name>.ckpt`` plus a
+        ``runs/`` TensorBoard dir."""
+        if not self.params.get("workspace_path"):
+            raise AttributeError("workspace_path not defined in the ini file.")
+        wsp = self.params["workspace_path"] = os.path.expanduser(
+            self.params["workspace_path"]
+        )
+        makedir(wsp)
+
+        mc, hd = self.params["model_class"], self.params["problem_handler"]
+        run_name = f"{mc}_{hd}"
+        model_folder = os.path.join(wsp, run_name, "model")
+        makedir(model_folder)
+
+        name = self.params.get("name")
+        res_path = self.params.get("resume_model") or ""
+        res_filename = os.path.splitext(os.path.split(res_path)[1])[0]
+
+        if name in ("", None) and res_path in ("", None):
+            raise AttributeError(
+                "You should set at least a name or a path of a previously "
+                "trained model for lookup."
+            )
+
+        self.params["model_path"] = res_path if res_path != "" else None
+        self.params["name"] = (
+            res_filename if not name and res_path else name
+        )
+
+        if not self.params.get("force_resumed"):
+            self.params["model_path"] = os.path.join(
+                model_folder, self.params["name"] + ".ckpt"
+            )
+
+        if self.params.get("tensorboard_run_path") is None:
+            tb_name = run_name + "_" + self.params["name"]
+            self.params["tensorboard_run_path"] = os.path.join(
+                wsp, "runs", tb_name
+            )
+
+    # ------------------------------------------------------------------
+    # Data
+    # ------------------------------------------------------------------
+
+    def get_loader(self, dataset_class, dataset, batch_size=1, shuffle=True,
+                   n_workers=0, single_file=None):
+        """Build a HostLoader (ref ``Model.get_dataloader``,
+        ``Model.py:147-187``; sampling with replacement per quirk Q4)."""
+        ds = dataset_class(dataset, "", single_file=single_file)
+        return HostLoader(
+            ds,
+            batch_size=batch_size,
+            shuffle=shuffle,
+            replacement=True,
+            n_workers=n_workers or 2,
+            seed=int(self.params.get("seed") or 0),
+        )
+
+    def load_datasets(self) -> None:
+        """ref ``Model.load_datasets`` (``Model.py:189-224``)."""
+        handler = self.problem_handler
+        if self.params.get("train_flag"):
+            self.data["train_loader"] = self.get_loader(
+                handler.train_dataset_class,
+                self.params["train_files_csv"],
+                batch_size=self.params["batch_size"],
+                n_workers=self.params.get("n_workers"),
+            )
+            self.data["validation_loader"] = self.get_loader(
+                handler.train_dataset_class,
+                self.params["validation_files_csv"],
+                batch_size=self.params["batch_size"],
+                n_workers=self.params.get("n_workers"),
+            )
+        if self.params.get("test_flag"):
+            if self.params.get("test_files_csv") or self.params.get("single_file"):
+                self.data["test_loader"] = self.get_loader(
+                    handler.test_dataset_class,
+                    self.params.get("test_files_csv"),
+                    batch_size=1,  # ref ``Model.py:221``
+                    shuffle=False,
+                    single_file=self.params.get("single_file"),
+                )
+
+    # ------------------------------------------------------------------
+    # Model / state initialization
+    # ------------------------------------------------------------------
+
+    def _sample_shape(self):
+        for key in ("train_loader", "test_loader", "validation_loader"):
+            loader = self.data.get(key)
+            if loader is not None:
+                sample = loader.dataset[0]
+                return tuple(sample["image"].shape), ("flap" in sample)
+        raise RuntimeError("No dataset available to infer the input shape.")
+
+    def _build_model(self):
+        return build_model(
+            self.params["model_class"],
+            compute_dtype=self.params.get("compute_dtype") or "bfloat16",
+            param_dtype=self.params.get("param_dtype") or "float32",
+            use_checkpoint=bool(self.params.get("remat", True)),
+        )
+
+    def _maybe_atlas(self, im_shape):
+        if getattr(self.problem_handler, "append_atlas", False):
+            self._atlas = atlas_mod.load_atlas(
+                im_shape, self.params.get("atlas_dir")
+            )
+
+    def initialize_models(self, load_out: bool = False) -> None:
+        """ref ``Model.initialize_models`` (``Model.py:493-508``)."""
+        im_shape, from_pairs = self._sample_shape()
+        self._from_pairs = from_pairs
+        self._maybe_atlas(im_shape)
+        model = self._build_model()
+        self.models["main"] = model
+
+        n_ch = MODEL_INPUT_CHANNELS[self.params["model_class"]]
+        dummy = jnp.zeros(
+            (1, *im_shape, n_ch),
+            jnp.dtype(self.params.get("compute_dtype") or "bfloat16"),
+        )
+        variables = jax.jit(model.init, static_argnums=(2,))(
+            jax.random.key(int(self.params.get("seed") or 0)), dummy, False
+        )
+
+        if load_out:
+            loaded = self._load_variables(self.params["model_path"])
+            variables = {**variables, **loaded}
+        elif self.params.get("resume_model") not in ("", None):
+            loaded = self._load_variables(self.params["resume_model"])
+            variables = {**variables, **loaded}
+
+        self._variables = variables
+
+    def _load_variables(self, path: str):
+        """Load from orbax dir or reference torch .pt (ref
+        ``Model.load_model``, ``Model.py:448-472``, incl. the fallback to
+        resume_model when the workspace model is missing)."""
+        cond = (
+            self.params.get("train_flag") is False
+            and self.params.get("test_flag") is True
+            and (self.params.get("resume_model") or "") != ""
+            and not os.path.exists(path)
+        )
+        if cond:
+            path = self.params["resume_model"]
+            print("using 'resume_model' trained model for predicting..")
+        return ckpt.load_any(path, self.params["model_class"])
+
+    # ------------------------------------------------------------------
+    # Training
+    # ------------------------------------------------------------------
+
+    def train(self) -> None:
+        """Training loop (ref ``Model.train``, ``Model.py:226-264``)."""
+        self.initialize_models()
+        optimizer = steps.make_optimizer(self.params)
+        variables = self._variables
+        state = steps.TrainState(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=optimizer.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+        if self.mesh.devices.size > 1:
+            state = replicate_tree(state, self.mesh)
+        self.state = state
+
+        loss_cfg = {
+            k: self.params.get(k)
+            for k in ("ce_lambda", "dice_lambda", "save_dice_plots")
+        }
+        compute_dtype = jnp.dtype(
+            self.params.get("compute_dtype") or "bfloat16"
+        )
+        model = self.models["main"]
+        handler = self.problem_handler
+        train_step = steps.make_train_step(
+            model, handler, optimizer, loss_cfg,
+            atlas=self._atlas, compute_dtype=compute_dtype,
+            from_pairs=self._from_pairs,
+        )
+        eval_step = steps.make_eval_step(
+            model, handler, loss_cfg,
+            atlas=self._atlas, compute_dtype=compute_dtype,
+            from_pairs=self._from_pairs,
+        )
+
+        print_params_dict(self.params)
+
+        n_epochs = int(self.params["n_epochs"])
+        for n_epoch in range(1, n_epochs + 1):
+            ep_time = tic()
+            self.current_epoch = n_epoch
+            print("Epoch: ", n_epoch)
+
+            self._forward_pass_train(train_step, n_epoch)
+            self.update_plots_tensorboard_avg("train", n_epoch)
+
+            self._forward_pass_eval(eval_step, n_epoch)
+            ep_loss_v = self.update_plots_tensorboard_avg("val", n_epoch)
+
+            if n_epoch == 1 or (
+                ep_loss_v is not None
+                and ep_loss_v < self.best_model["value"]
+            ):
+                if self.best_model["value"] is not None:
+                    print(
+                        "New best model found. Overwriting saved model. "
+                        f"(new best val loss: {ep_loss_v:.5f} vs "
+                        f"{self.best_model['value']:.5f})"
+                    )
+                self.best_model["value"] = ep_loss_v
+                self.best_model["epoch"] = n_epoch
+
+            toc_eps(ep_time, n_epoch, n_epochs)
+
+            autosave = int(self.params.get("autosave_epochs") or 0)
+            if autosave and (n_epoch % autosave) == 0:
+                self.save_main_model(self.cfg_path, True)
+                if self.params.get("test_flag"):
+                    self.test()
+
+            self.save_main_model()
+
+        self._variables = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+        }
+
+    def _accumulate(self, terms: Dict[str, Any]) -> float:
+        for k, v in terms.items():
+            self.losses_and_metrics.setdefault(k, []).append(float(v))
+        return float(terms["epoch_loss"])
+
+    def _forward_pass_train(self, train_step, n_epoch: int) -> None:
+        print("Phase: train.")
+        loader = self.data["train_loader"]
+        log_every = int(self.params.get("log_every") or 0)
+        n = len(loader)
+        for idx, batch in enumerate(
+            device_prefetch(
+                iter(loader),
+                depth=int(self.params.get("prefetch_depth") or 2),
+                sharding=self._data_sharding,
+            )
+        ):
+            key = jax.random.fold_in(
+                jax.random.fold_in(self._rng_key, n_epoch), idx
+            )
+            dev_batch = {
+                k: v for k, v in batch.items() if not isinstance(v, list)
+            }
+            self.state, terms = train_step(self.state, dev_batch, key)
+            loss = self._accumulate(terms)
+            if log_every and (idx + 1) % log_every == 0:
+                print(
+                    "    Batch {}/{} ({:.0f}%)\tLoss: {:.6f}".format(
+                        idx + 1, n, 100.0 * (idx + 1) / n, loss
+                    )
+                )
+
+    def _forward_pass_eval(self, eval_step, n_epoch: int) -> None:
+        print("Phase: val.")
+        loader = self.data["validation_loader"]
+        handler = self.problem_handler
+        want_hd = bool(self.params.get("save_hd_plots"))
+        for idx, batch in enumerate(
+            device_prefetch(iter(loader), sharding=self._data_sharding)
+        ):
+            key = jax.random.fold_in(
+                jax.random.fold_in(self._rng_key, 1_000_000 + n_epoch), idx
+            )
+            dev_batch = {
+                k: v for k, v in batch.items() if not isinstance(v, list)
+            }
+            terms, (out, targets) = eval_step(self.state, dev_batch, key)
+            self._accumulate(terms)
+            if want_hd and hasattr(handler, "host_metrics"):
+                hm = handler.host_metrics(out, targets, self.params)
+                for k, v in hm.items():
+                    self.losses_and_metrics.setdefault(k, []).append(
+                        float(v)
+                    )
+
+    def update_plots_tensorboard_avg(
+        self, phase: str, i: int, type: str = "epoch",
+        print_to_console: bool = False,
+    ) -> Optional[float]:
+        """Average + log accumulated scalars (ref ``Model.py:382-405``)."""
+        ep_loss = None
+        if "epoch_loss" in self.losses_and_metrics:
+            vals = self.losses_and_metrics["epoch_loss"]
+            if vals:
+                ep_loss = float(np.mean(vals))
+        for key, vals in self.losses_and_metrics.items():
+            if not vals:
+                continue
+            avg = sum(vals) / len(vals)
+            self.writer.add_scalar(f"{phase}/{type}/{key}", float(avg), i)
+            self.losses_and_metrics[key] = []
+            if print_to_console:
+                print(f"{type} {i} average: {float(avg)}.")
+        return ep_loss
+
+    # ------------------------------------------------------------------
+    # Checkpointing
+    # ------------------------------------------------------------------
+
+    def save_main_model(self, cfg_file=None, save_checkpoint=False) -> None:
+        """Best-model overwrite + periodic checkpoints + ini snapshot
+        (ref ``Model.save_main_model``, ``Model.py:266-296``)."""
+        path = self.params["model_path"]
+        dir_m, fname = os.path.split(path)
+        makedir(dir_m)
+        if self.current_epoch == self.best_model["epoch"]:
+            ckpt.save_checkpoint(
+                path, self.state,
+                extra={"epoch": self.current_epoch,
+                       "model_class": self.params["model_class"]},
+            )
+
+        if cfg_file and self.current_epoch == 1:
+            copyfile(cfg_file, path.replace(".ckpt", "_params.ini"))
+
+        if save_checkpoint:
+            dir_chk = os.path.join(dir_m, "checkpoints")
+            new_sfx = f"_ep{self.current_epoch}.ckpt"
+            chk_p = os.path.join(dir_chk, fname.replace(".ckpt", new_sfx))
+            makedir(dir_chk)
+            ckpt.save_checkpoint(
+                chk_p, self.state, extra={"epoch": self.current_epoch}
+            )
+            print("Checkpoint saved ({})".format(save_checkpoint))
+
+        print("Model saved ({})".format(path))
+
+    # ------------------------------------------------------------------
+    # Inference
+    # ------------------------------------------------------------------
+
+    def test(self) -> None:
+        """Prediction pass (ref ``Model.test``, ``Model.py:298-322``)."""
+        if self.models["main"] is None and self.params.get("name"):
+            self.initialize_models(load_out=not bool(self.state))
+        elif self.models["main"] is None and self.params.get("resume_model"):
+            self.initialize_models()
+
+        if (
+            self.params.get("test_flag")
+            and not self.params.get("test_files_csv")
+            and not self.params.get("single_file")
+        ):
+            print("No csv provided for testing")
+            return
+        if not self.params.get("single_file"):
+            print(
+                "Images to test: ",
+                os.path.split(self.params["test_files_csv"] or "")[0],
+            )
+            print_params_dict(self.params)
+        self._forward_pass_test()
+
+    def _current_variables(self):
+        if self.state is not None:
+            return {
+                "params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+            }
+        return {
+            "params": self._variables["params"],
+            "batch_stats": self._variables.get("batch_stats", {}),
+        }
+
+    def _forward_pass_test(self) -> None:
+        print("Phase: test.")
+        model = self.models["main"]
+        variables = self._current_variables()
+        compute_dtype = jnp.dtype(
+            self.params.get("compute_dtype") or "bfloat16"
+        )
+
+        if self.params.get("patch_inference"):
+            from .ops.sliding_window import make_sliding_window_fn
+
+            predict = make_sliding_window_fn(
+                model,
+                patch_size=int(self.params.get("patch_size") or 128),
+                overlap=float(self.params.get("patch_overlap") or 0.5),
+                atlas=self._atlas,
+                compute_dtype=compute_dtype,
+            )
+        else:
+            predict = steps.make_predict_fn(
+                model, atlas=self._atlas, compute_dtype=compute_dtype
+            )
+
+        multiple = _POOL_MULTIPLE.get(self.params["model_class"], 16)
+        loader = self.data["test_loader"]
+        for batch in iter(loader):
+            images = batch["image"]
+            pads = [
+                (0, -s % multiple) for s in images.shape[1:]
+            ]
+            padded = np.pad(images, [(0, 0)] + pads)
+            out = predict(variables, jax.device_put(padded))
+
+            def unpad_np(a):
+                a = np.asarray(jax.device_get(a), np.float32)
+                sl = tuple(
+                    slice(0, s) for s in images.shape[1:]
+                )
+                return a[(slice(None),) + sl]
+
+            out = jax.tree.map(unpad_np, out)
+            self.out_paths = self.write_predictions(
+                out, batch["filepath"], self.params["name"], images
+            )
+
+
+def load_ini_file(ini_file: str) -> None:
+    """Create a Model from an ini path (ref ``Model.py:549-551``)."""
+    Model(ini_file)
+
+
+def cli() -> None:
+    """Console entry point: ``ctunet-tpu <cfg.ini>`` (ref ``Model.py:554-557``)."""
+    if len(sys.argv) > 1:
+        Model([sys.argv[1]])
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1:
+        Model([sys.argv[1]])

@@ -1,0 +1,123 @@
+"""End-to-end: config-driven training + prediction on synthetic skulls.
+
+The SURVEY.md §7 step-3/5 gate: a full train->checkpoint->predict cycle
+through the public ``Model`` entry point, on a tiny synthetic dataset.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from ctunet_tpu import Model
+from ctunet_tpu.data import make_dataset, spherical_shell
+from ctunet_tpu.data.atlas import register_atlas
+from ctunet_tpu.utils import nifti
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    csv = make_dataset(str(root / "data"), n=3, shape=(32, 32, 32), seed=7)
+    register_atlas((32, 32, 32), spherical_shell((32, 32, 32)))
+    return root, csv
+
+
+def _params(root, csv, **over):
+    p = dict(
+        train_flag=True,
+        test_flag=False,
+        name="e2e",
+        model_class="UNetSP",
+        problem_handler="FlapRecWithShapePriorDoubleOut",
+        device="cpu",
+        n_epochs=2,
+        batch_size=2,
+        dice_lambda=1.0,
+        ce_lambda=1.0,
+        optimizer="adam",
+        learning_rate=1e-3,
+        momentum=0.99,
+        weight_decay=0.0,
+        workspace_path=str(root / "ws"),
+        train_files_csv=csv,
+        validation_files_csv=csv,
+        test_files_csv=csv,
+        autosave_epochs=0,
+        save_dice_plots=True,
+        n_workers=2,
+        compute_dtype="float32",
+        remat=False,
+        log_every=0,
+        seed=0,
+    )
+    p.update(over)
+    return p
+
+
+@pytest.fixture(scope="module")
+def trained(synth):
+    root, csv = synth
+    m = Model(params=_params(root, csv, test_flag=True))
+    return root, csv, m
+
+
+def test_training_runs_and_checkpoints(trained):
+    root, csv, m = trained
+    path = m.params["model_path"]
+    assert os.path.isdir(path)  # orbax checkpoint dir
+    assert m.best_model["value"] is not None
+    assert np.isfinite(m.best_model["value"])
+
+
+def test_tensorboard_history(trained):
+    _, _, m = trained
+    hist = m.writer.history
+    assert "train/epoch/epoch_loss" in hist
+    assert "val/epoch/epoch_loss" in hist
+    assert "train/epoch/dice_loss_sk" in hist
+    assert "train/epoch/ce_fl" in hist
+    assert len(hist["train/epoch/epoch_loss"]) == 2  # one point per epoch
+
+
+def test_predictions_written(trained):
+    root, csv, m = trained
+    data_dir = os.path.dirname(csv)
+    pred_dir = os.path.join(data_dir, "pred_e2e")
+    assert os.path.isdir(pred_dir)
+    sks = sorted(glob.glob(os.path.join(pred_dir, "*_sk.nii.gz")))
+    fls = sorted(glob.glob(os.path.join(pred_dir, "*_fl.nii.gz")))
+    iis = sorted(glob.glob(os.path.join(pred_dir, "*_i.nii.gz")))
+    assert len(sks) == 3 and len(fls) == 3 and len(iis) == 3
+    # Predictions are binary masks in the input's physical space.
+    pred = nifti.read(sks[0])
+    src = nifti.read(os.path.join(data_dir, "skull_000.nii.gz"))
+    assert pred.data.shape == src.data.shape
+    assert set(np.unique(pred.data)).issubset({0.0, 1.0})
+    np.testing.assert_allclose(pred.affine, src.affine, atol=1e-5)
+
+
+def test_resume_from_checkpoint(trained, synth):
+    root, csv, m = trained
+    p = _params(root, csv, train_flag=False, test_flag=True,
+                single_file=os.path.join(os.path.dirname(csv),
+                                         "skull_001.nii.gz"))
+    m2 = Model(params=p)
+    # single-file prediction reuses the trained checkpoint by name
+    pred_dir = os.path.join(os.path.dirname(csv), "pred_e2e")
+    assert glob.glob(os.path.join(pred_dir, "skull_001_fl.nii.gz"))
+
+
+def test_no_atlas_problem(synth, tmp_path):
+    """FlapRecDoubleOut: single input channel, no atlas needed."""
+    root, csv = synth
+    p = _params(
+        root, csv,
+        name="e2e_noatlas",
+        model_class="UNetDO",
+        problem_handler="FlapRecDoubleOut",
+        n_epochs=1,
+    )
+    m = Model(params=p)
+    assert m.best_model["value"] is not None

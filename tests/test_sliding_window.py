@@ -1,0 +1,101 @@
+"""Sliding-window patch inference tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ctunet_tpu.ops.sliding_window import (
+    gaussian_window,
+    grid_starts,
+    make_sliding_window_fn,
+    patch_starts,
+)
+
+
+def test_patch_starts_cover_volume():
+    s = patch_starts(100, 32, 16)
+    assert s[0] == 0 and s[-1] == 100 - 32
+    # every voxel covered
+    covered = np.zeros(100, bool)
+    for st in s:
+        covered[st : st + 32] = True
+    assert covered.all()
+
+
+def test_patch_starts_small_volume():
+    np.testing.assert_array_equal(patch_starts(16, 32, 16), [0])
+
+
+def test_grid_starts_shape():
+    g = grid_starts((64, 64, 64), (32, 32, 32), overlap=0.5)
+    assert g.shape[1] == 3
+    assert (g >= 0).all() and (g <= 32).all()
+    assert len(g) == 27  # 3 starts per axis at 50% overlap
+
+
+def test_gaussian_window_properties():
+    w = gaussian_window((16, 16, 16))
+    assert w.shape == (16, 16, 16)
+    assert w.max() == pytest.approx(1.0)
+    assert w[8, 8, 8] > w[0, 0, 0]
+    assert (w > 0).all()
+
+
+class _Identity:
+    """Fake 'model' echoing its input as a 2-channel map."""
+
+    def apply(self, variables, x, train):
+        v = x[..., 0:1].astype(jnp.float32)
+        return jnp.concatenate([1.0 - v, v], axis=-1)
+
+
+def test_blending_reconstructs_identity(rng):
+    """Tiled identity blending must reproduce the input exactly —
+    overlap-weighted averaging of identical values is a no-op."""
+    vol = rng.random((1, 40, 40, 40)).astype(np.float32)
+    predict = make_sliding_window_fn(
+        _Identity(), patch_size=16, overlap=0.5, compute_dtype=jnp.float32
+    )
+    out = predict({}, jnp.asarray(vol))
+    np.testing.assert_allclose(
+        np.asarray(out[..., 1]), vol, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[..., 0]), 1.0 - vol, atol=1e-5
+    )
+
+
+class _DoubleOut:
+    def apply(self, variables, x, train):
+        v = x[..., 0:1].astype(jnp.float32)
+        a = jnp.concatenate([1.0 - v, v], axis=-1)
+        return a, a * 2.0
+
+
+def test_double_output_structure(rng):
+    vol = rng.random((1, 24, 24, 24)).astype(np.float32)
+    predict = make_sliding_window_fn(
+        _DoubleOut(), patch_size=16, overlap=0.25, compute_dtype=jnp.float32
+    )
+    a, b = predict({}, jnp.asarray(vol))
+    assert a.shape == (1, 24, 24, 24, 2)
+    np.testing.assert_allclose(np.asarray(b), 2 * np.asarray(a), atol=1e-5)
+
+
+def test_atlas_patches_follow_grid(rng):
+    """With an atlas, each patch must see the matching atlas window."""
+    vol = np.zeros((1, 24, 24, 24), np.float32)
+    atlas = rng.random((24, 24, 24)).astype(np.float32)
+
+    class _EchoAtlas:
+        def apply(self, variables, x, train):
+            v = x[..., 1:2]  # atlas channel
+            return jnp.concatenate([v, v], axis=-1)
+
+    predict = make_sliding_window_fn(
+        _EchoAtlas(), patch_size=16, overlap=0.5, atlas=atlas,
+        compute_dtype=jnp.float32,
+    )
+    out = predict({}, jnp.asarray(vol))
+    np.testing.assert_allclose(np.asarray(out[0, ..., 0]), atlas, atol=1e-5)
