@@ -62,6 +62,12 @@ def measure_torch_baseline(n_iters: int = 3) -> float:
 
 def measure_jax(n_iters: int = 10) -> float:
     import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
     import numpy as np
 
@@ -81,19 +87,24 @@ def measure_jax(n_iters: int = 10) -> float:
         jax.random.key(0), x, False
     )
 
+    # NOTE: under the axon tunnel block_until_ready does not actually block,
+    # so a scalar reduction is fetched to host each iteration — the float()
+    # forces full computation + one-scalar roundtrip (honest sync).
     @jax.jit
-    def forward(variables, x):
-        return model.apply(variables, x, False)
+    def forward_sum(variables, x):
+        out = model.apply(variables, x, False)
+        return sum(
+            jnp.sum(o.astype(jnp.float32)) for o in jax.tree.leaves(out)
+        )
 
     t0 = time.perf_counter()
-    out = forward(variables, x)
-    jax.block_until_ready(out)
+    float(forward_sum(variables, x))
     print(f"compile+first run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     times = []
     for _ in range(n_iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(forward(variables, x))
+        float(forward_sum(variables, x))
         times.append(time.perf_counter() - t0)
     sec = min(times)
     print(
