@@ -385,7 +385,14 @@ class Model:
             self.current_epoch = n_epoch
             print("Epoch: ", n_epoch)
 
-            self._forward_pass_train(train_step, n_epoch)
+            profile_dir = self.params.get("profile_dir") or ""
+            if profile_dir and n_epoch == 1:
+                # jax.profiler trace of the first epoch (SURVEY.md §5:
+                # replaces the reference's wall-clock-only instrumentation).
+                with jax.profiler.trace(os.path.expanduser(profile_dir)):
+                    self._forward_pass_train(train_step, n_epoch)
+            else:
+                self._forward_pass_train(train_step, n_epoch)
             self.update_plots_tensorboard_avg("train", n_epoch)
 
             self._forward_pass_eval(eval_step, n_epoch)
@@ -565,6 +572,10 @@ class Model:
 
     def _forward_pass_test(self) -> None:
         print("Phase: test.")
+        if self.params.get("largest_cc"):
+            from .ops.postprocess import largest_cc
+
+            self.problem_handler.postprocess = largest_cc
         model = self.models["main"]
         variables = self._current_variables()
         compute_dtype = jnp.dtype(
