@@ -97,16 +97,45 @@ def measure_jax(n_iters: int = 10) -> float:
             jnp.sum(o.astype(jnp.float32)) for o in jax.tree.leaves(out)
         )
 
-    t0 = time.perf_counter()
-    float(forward_sum(variables, x))
-    print(f"compile+first run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-
-    times = []
-    for _ in range(n_iters):
+    def timed(fn, label):
         t0 = time.perf_counter()
-        float(forward_sum(variables, x))
-        times.append(time.perf_counter() - t0)
-    sec = min(times)
+        float(fn(variables, x))
+        print(
+            f"{label} compile+first run: {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+        times = []
+        for _ in range(n_iters):
+            t0 = time.perf_counter()
+            float(fn(variables, x))
+            times.append(time.perf_counter() - t0)
+        sec = min(times)
+        print(
+            f"{label}: best of {n_iters}: {sec * 1000:.1f}ms -> "
+            f"{1.0 / sec:.2f} volumes/sec",
+            file=sys.stderr,
+        )
+        return sec
+
+    sec = timed(forward_sum, "jax UNetSP (XLA conv)")
+
+    # Fused Pallas inference engine (the serving path).
+    try:
+        from ctunet_tpu import engine
+
+        predict = engine.build_predict("UNetSP", variables)
+
+        @jax.jit
+        def engine_sum(variables_unused, x):
+            out = predict(x)
+            return sum(
+                jnp.sum(o.astype(jnp.float32)) for o in jax.tree.leaves(out)
+            )
+
+        sec_engine = timed(engine_sum, "jax UNetSP (pallas engine)")
+        sec = min(sec, sec_engine)
+    except Exception as e:  # engine is an optimization, never a bench blocker
+        print(f"engine path failed: {type(e).__name__}: {e}", file=sys.stderr)
     print(
         f"jax UNetSP: best of {n_iters}: {sec * 1000:.1f}ms -> "
         f"{1.0 / sec:.2f} volumes/sec",

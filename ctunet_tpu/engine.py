@@ -1,0 +1,223 @@
+"""TPU inference engine: the U-Net forward as fused Pallas convs + matmuls.
+
+Serving-path counterpart of the flax model zoo: takes a trained variables
+tree and emits a jitted whole-volume ``predict`` whose hot ops bypass XLA's
+slow thin-channel 3D convolution (see ``ops/pallas/conv3d.py``):
+
+- every Conv3D(k3)+BN+ReLU unit -> one fused Pallas kernel call with
+  BN folded into the weights (per-layer W-packing chosen automatically);
+- every ConvTranspose(k2, s2) -> an einsum (a non-overlapping stride-2
+  transposed conv is a pure matmul) + depth-to-space reshape;
+- MaxPool(2) -> reshape + max (no windowed reduce);
+- heads/last 1x1 conv -> einsum + elementwise XLA.
+
+Numerics match ``model.apply(variables, x, train=False)`` (equivalence
+tests in ``tests/test_engine.py``). Layers whose shapes don't satisfy the
+kernel's constraints fall back to the XLA conv transparently.
+
+Supports the generic UNet family (UNetSP / UNetSPSmall / UNetDO /
+UNet4b2i3o / UNet5b2i3o / UNet4b1i3o). The legacy k=5 models fall back to
+``model.apply`` entirely (the packed-tap kernel is k=3; a k=5 variant is
+future work).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.pallas import conv3d as pc
+
+# Structural config per registered generic-family model
+# (mirrors ctunet/pytorch/models.py:272-387).
+ENGINE_CONFIGS: Dict[str, Dict[str, Any]] = {
+    "UNet4b2i3o": dict(n_blocks=4, i_size=7, head=None),
+    "UNet5b2i3o": dict(n_blocks=5, i_size=4, head=None),
+    "UNet4b1i3o": dict(n_blocks=4, i_size=7, head=None),
+    "UNetSP": dict(n_blocks=4, i_size=7, head="double"),
+    "UNetSPSmall": dict(n_blocks=5, i_size=4, head="double_softmax"),
+    "UNetDO": dict(n_blocks=4, i_size=7, head="double"),
+}
+
+
+def supports(model_class: str) -> bool:
+    return model_class in ENGINE_CONFIGS
+
+
+def _np(x) -> np.ndarray:
+    return np.asarray(jax.device_get(x), np.float32)
+
+
+class _FusedUnit:
+    """One Conv+BN+ReLU unit: packed weights prepared at build time."""
+
+    def __init__(self, unit_vars, unit_stats, interpret: bool):
+        w = _np(unit_vars["conv"]["kernel"])  # (3,3,3,Cin,Cout)
+        conv_bias = (
+            _np(unit_vars["conv"]["bias"])
+            if "bias" in unit_vars["conv"]
+            else np.zeros(w.shape[-1], np.float32)
+        )
+        inv, bn_b = pc.fold_bn(
+            _np(unit_vars["bn"]["scale"]),
+            _np(unit_vars["bn"]["bias"]),
+            _np(unit_stats["bn"]["mean"]),
+            _np(unit_stats["bn"]["var"]),
+        )
+        self.w = w
+        self.scale = inv
+        self.bias = conv_bias * inv + bn_b
+        self.cin = w.shape[3]
+        self.cout = w.shape[4]
+        self.interpret = interpret
+        self._packed: Dict[int, Any] = {}
+
+    def _get_packed(self, pack: int):
+        if pack not in self._packed:
+            self._packed[pack] = (
+                jnp.asarray(pc.pack_weights(self.w, pack, self.scale)),
+                jnp.asarray(pc.pack_bias(self.bias, pack)),
+            )
+        return self._packed[pack]
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        ww = x.shape[2]
+        pack = pc.choose_pack(ww, self.cin)
+        try:
+            pw, pb = self._get_packed(pack)
+            out = pc.conv3d_fused(
+                x, pw, pb, pack, relu=True, interpret=self.interpret,
+                out_dtype=x.dtype,
+            )
+            return pc.unpack_output(out, pack, self.cout)
+        except (ValueError, AssertionError):
+            return self._xla(x)
+
+    def _xla(self, x: jax.Array) -> jax.Array:
+        y = jax.lax.conv_general_dilated(
+            x[None],
+            jnp.asarray(self.w * self.scale[None, None, None, None, :],
+                        x.dtype),
+            (1, 1, 1),
+            "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32,
+        )[0]
+        return jnp.maximum(y + jnp.asarray(self.bias), 0.0).astype(x.dtype)
+
+
+def _conv_transpose_k2s2(x: jax.Array, kernel: jax.Array,
+                         bias: jax.Array) -> jax.Array:
+    """Non-overlapping stride-2 transposed conv as einsum + depth-to-space.
+
+    ``kernel``: flax transpose_kernel=True layout (2,2,2,O,I) as stored by
+    the model zoo (torch ConvTranspose3d parity). With stride == kernel
+    size the output decomposes exactly: out[2z+a, 2y+b, 2x+c, o] =
+    sum_i x[z,y,x,i] * k[flip(a,b,c), o, i] (gradient-of-conv flips).
+    """
+    k = jnp.flip(kernel, axis=(0, 1, 2)).astype(x.dtype)
+    y = jnp.einsum("zyxi,abcoi->zaybxco", x, k)
+    d, _, hh, _, ww, _, co = y.shape
+    y = y.reshape(d * 2, hh * 2, ww * 2, co)
+    return (y + bias.astype(x.dtype)).astype(x.dtype)
+
+
+def _maxpool2(x: jax.Array) -> jax.Array:
+    d, hh, ww, c = x.shape
+    x = x.reshape(d // 2, 2, hh // 2, 2, ww // 2, 2, c)
+    return x.max(axis=(1, 3, 5))
+
+
+def build_predict(
+    model_class: str,
+    variables: Dict[str, Any],
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+):
+    """Build a jitted ``predict(images)`` for (B, D, H, W, C) inputs.
+
+    ``variables``: {'params', 'batch_stats'} as produced by the model zoo /
+    checkpoint load / torch port.
+    """
+    cfg = ENGINE_CONFIGS[model_class]
+    n_blocks = cfg["n_blocks"]
+    params = variables["params"]["unet"]
+    stats = variables["batch_stats"]["unet"]
+
+    d_units = [
+        [
+            _FusedUnit(
+                params[f"d{i}"][f"unit{j}"], stats[f"d{i}"][f"unit{j}"],
+                interpret,
+            )
+            for j in range(2)
+        ]
+        for i in range(n_blocks)
+    ]
+    u_units = [
+        [
+            _FusedUnit(
+                params[f"u{i}"][f"unit{j}"], stats[f"u{i}"][f"unit{j}"],
+                interpret,
+            )
+            for j in range(2)
+        ]
+        for i in range(n_blocks)
+    ]
+    up_kernels = [
+        (
+            jnp.asarray(_np(params[f"u{i}"]["upconv"]["kernel"])),
+            jnp.asarray(_np(params[f"u{i}"]["upconv"]["bias"])),
+        )
+        for i in range(n_blocks)
+    ]
+    lc_k = jnp.asarray(_np(params["last_conv"]["kernel"]))  # (1,1,1,I,O)
+    lc_b = jnp.asarray(_np(params["last_conv"]["bias"]))
+
+    head = cfg["head"]
+
+    def forward_one(x: jax.Array):
+        x = x.astype(compute_dtype)
+        skips = []
+        for i in range(n_blocks):
+            x = d_units[i][0](x)
+            x = d_units[i][1](x)
+            skips.append(x)
+            x = _maxpool2(x)
+        for idx in range(n_blocks):
+            i = n_blocks - 1 - idx
+            ker, b = up_kernels[idx]
+            x = _conv_transpose_k2s2(x, ker, b)
+            x = u_units[idx][0](x)
+            x = u_units[idx][1](x)
+            x = jnp.concatenate([x, skips[i]], axis=-1)
+        out = (
+            jnp.einsum("zyxi,io->zyxo", x, lc_k[0, 0, 0].astype(x.dtype))
+            + lc_b.astype(x.dtype)
+        )
+        out = jax.nn.sigmoid(out.astype(jnp.float32)).astype(compute_dtype)
+
+        if head is None:
+            return out
+        backg = out[..., 0:1]
+        flap = out[..., 1:2]
+        fullsk = out[..., 2:3]
+        full = jnp.concatenate([backg, flap + fullsk], axis=-1)
+        fl = jnp.concatenate([1.0 - flap, flap], axis=-1)
+        if head == "double_softmax":
+            return (
+                jax.nn.softmax(full.astype(jnp.float32), axis=-1),
+                jax.nn.softmax(fl.astype(jnp.float32), axis=-1),
+            )
+        return full, fl
+
+    @jax.jit
+    def predict(images: jax.Array):
+        outs = [forward_one(images[i]) for i in range(images.shape[0])]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+
+    return predict

@@ -1,0 +1,264 @@
+"""Pallas TPU kernel: fused 3x3x3 Conv3D + folded BatchNorm + ReLU.
+
+Why: XLA's 3D convolution on TPU runs at ~0.6 TFLOP/s for the thin-channel
+(7-56 ch) layers this U-Net family is made of (measured, BASELINE.md) — the
+MXU's 128 lanes are idle on a 7-channel contraction, and layout copies eat
+another ~25% of inference time. This kernel restructures the conv so the MXU
+sees wide matmuls:
+
+1. **Channel packing is free.** With channels-last minor ordering, viewing
+   ``(D, H, W, C)`` as ``(D, H, W/p, p*C)`` is a pure ``reshape`` — no data
+   movement. A k=3 conv on the packed tensor is algebraically a k=3 conv
+   with *packed weights* ``Wp[dz, dy, t][r*C+ci, s*C+co] = w[dz, dy, dx, ci,
+   co]`` where ``u = s+dx-1``, ``t = floor(u/p)``, ``r = u mod p`` (mostly
+   zeros at t != 1). Packing by p=16 turns a 7-channel conv into a
+   112-channel conv.
+
+2. **Every tap is a contiguous matmul.** Each padded z-plane is stored with
+   flattened spatial rows ``(h, w') -> h*(Wp+2) + w'``, so the shifted input
+   window of tap ``(dy, t)`` is the rows ``[dy*(Wp+2)+t : ... + H*(Wp+2))``
+   — a contiguous offset slice feeding a single
+   ``(H*(Wp+2), Cin) @ (Cin, Cout)`` MXU matmul. 27 taps accumulate in an
+   f32 VMEM scratch; folded-BN bias and ReLU apply on the way out.
+
+3. **Grid = (depth, H-tiles)**, slabs of 3 padded z-planes DMA'd HBM->VMEM
+   per step; H tiling bounds VMEM for channel-rich layers.
+
+Measured on one TPU v5e chip at 224x304x304, 7->7 channels packed x16:
+34 ms vs 87 ms for ``lax.conv_general_dilated`` on the same shapes (and the
+fused bias+ReLU comes for free). Inference-path kernel; training uses the
+XLA conv (a custom VJP is future work).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def pack_weights(
+    w: np.ndarray,
+    pack: int,
+    scale: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Pack (3,3,3,Cin,Cout) conv weights for a W-packed-by-``pack`` input.
+
+    Optionally folds a per-output-channel BN scale. Returns
+    (27, pack*Cin padded to 128, pack*Cout padded to 128) float32.
+    """
+    assert w.shape[:3] == (3, 3, 3), f"k=3 only, got {w.shape}"
+    cin, cout = w.shape[3], w.shape[4]
+    w = np.asarray(w, np.float32)
+    if scale is not None:
+        w = w * np.asarray(scale, np.float32)[None, None, None, None, :]
+    cin_p = _round_up(pack * cin, LANE)
+    cout_p = _round_up(pack * cout, LANE)
+    out = np.zeros((3, 3, 3, cin_p, cout_p), np.float32)
+    for dx in range(3):
+        for s in range(pack):
+            u = s + dx - 1
+            t = (u + pack) // pack - 1  # floor(u / pack) for u >= -1
+            r = u - t * pack
+            out[:, :, t + 1, r * cin : (r + 1) * cin, s * cout : (s + 1) * cout] = w[
+                :, :, dx
+            ]
+    return out.reshape(27, cin_p, cout_p)
+
+
+def pack_bias(bias: np.ndarray, pack: int) -> np.ndarray:
+    """Tile a (Cout,) bias across packed positions, padded to 128."""
+    cout = bias.shape[0]
+    cout_p = _round_up(pack * cout, LANE)
+    out = np.zeros((1, cout_p), np.float32)
+    out[0, : pack * cout] = np.tile(np.asarray(bias, np.float32), pack)
+    return out
+
+
+def fold_bn(bn_scale, bn_bias, bn_mean, bn_var, eps: float = 1e-5):
+    """Fold BatchNorm into (scale per out-channel, bias) for the fused conv."""
+    inv = np.asarray(bn_scale, np.float32) / np.sqrt(
+        np.asarray(bn_var, np.float32) + eps
+    )
+    bias = np.asarray(bn_bias, np.float32) - np.asarray(bn_mean, np.float32) * inv
+    return inv, bias
+
+
+def _kernel(xp_hbm, w_ref, b_ref, out_ref, slab, acc, sem, *, taps, rout,
+            n_slab_rows, relu):
+    z = pl.program_id(0)
+    h = pl.program_id(1)
+    row0 = h * rout
+    cp = pltpu.make_async_copy(
+        xp_hbm.at[pl.ds(z, 3), pl.ds(row0, n_slab_rows)], slab, sem
+    )
+    cp.start()
+    cp.wait()
+    acc[:] = jnp.zeros_like(acc)
+    for i, (dz, off) in enumerate(taps):
+        xs = slab[dz, off : off + rout, :]
+        acc[:] += jax.lax.dot_general(
+            xs, w_ref[i], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    res = acc[:] + b_ref[0][None, :]
+    if relu:
+        res = jnp.maximum(res, 0.0)
+    out_ref[0] = res.astype(out_ref.dtype)
+
+
+def conv3d_fused(
+    x: jax.Array,
+    packed_w: jax.Array,
+    packed_b: jax.Array,
+    pack: int,
+    relu: bool = True,
+    h_tile: Optional[int] = None,
+    interpret: bool = False,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Fused Conv3D(k=3, SAME) + bias + ReLU on a single volume.
+
+    :param x: (D, H, W, Cin) input, W divisible by ``pack``.
+    :param packed_w: (27, Cin_p, Cout_p) from :func:`pack_weights`.
+    :param packed_b: (1, Cout_p) from :func:`pack_bias` (BN-folded).
+    :returns: (D, H, W, Cout) in ``out_dtype``.
+    """
+    d, hh, ww, cin = x.shape
+    assert ww % pack == 0, f"W={ww} not divisible by pack={pack}"
+    wp = ww // pack
+    cin_pk = pack * cin
+    cin_p = packed_w.shape[1]
+    cout_p = packed_w.shape[2]
+    wp2 = wp + 2
+
+    if h_tile is None:
+        h_tile = _pick_h_tile(hh, wp2, cin_p, cout_p)
+    assert hh % h_tile == 0, f"H={hh} not divisible by h_tile={h_tile}"
+    n_h = hh // h_tile
+    rout = h_tile * wp2
+    assert (rout % 8) == 0, (
+        f"h_tile*(W/pack+2)={rout} must be a multiple of 8"
+    )
+    n_slab_rows = _round_up((h_tile + 2) * wp2 + 2, 8)
+
+    # Pack (pure reshape), pad spatially by 1, pad channels to Cin_p, and
+    # flatten (h, w') rows; add slack rows so the last tile's DMA stays in
+    # range.
+    xq = x.reshape(d, hh, wp, cin_pk)
+    rows_full = _round_up((hh + 2) * wp2 + 2, 8) + n_slab_rows
+    xq = jnp.pad(
+        xq,
+        ((1, 1), (1, 1), (1, 1), (0, cin_p - cin_pk)),
+    )
+    xq = xq.reshape(d + 2, (hh + 2) * wp2, cin_p)
+    xq = jnp.pad(xq, ((0, 0), (0, rows_full - (hh + 2) * wp2), (0, 0)))
+
+    taps = tuple(
+        (dz, dy * wp2 + t) for dz in range(3) for dy in range(3) for t in range(3)
+    )
+    kern = functools.partial(
+        _kernel, taps=taps, rout=rout, n_slab_rows=n_slab_rows, relu=relu
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(d, n_h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rout, cout_p), lambda z, h: (z, h, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((d, hh * wp2, cout_p), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((3, n_slab_rows, cin_p), x.dtype),
+            pltpu.VMEM((rout, cout_p), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xq, packed_w.astype(x.dtype), packed_b)
+
+    # Unflatten rows and drop the 2 pad columns per row; channel trim /
+    # W unpack happens in :func:`unpack_output`.
+    return out.reshape(d, hh, wp2, cout_p)[:, :, :wp, :]
+
+
+def unpack_output(out: jax.Array, pack: int, cout: int) -> jax.Array:
+    """(D, H, W/p, Cout_p) -> (D, H, W, Cout) (pure reshape + channel trim)."""
+    d, hh, wp, _ = out.shape
+    return out[..., : pack * cout].reshape(d, hh, wp * pack, cout)
+
+
+def _pick_h_tile(hh: int, wp2: int, cin_p: int, cout_p: int,
+                 vmem_budget: int = 10 * 2**20) -> int:
+    """Largest H tile (multiple of 8, dividing H) fitting the VMEM budget."""
+    for ht in sorted(
+        {t for t in range(8, hh + 1, 8) if hh % t == 0}, reverse=True
+    ):
+        slab = 3 * _round_up((ht + 2) * wp2 + 2, 8) * cin_p * 2
+        acc = ht * wp2 * cout_p * 4
+        out_blk = ht * wp2 * cout_p * 2
+        if slab + acc + out_blk <= vmem_budget:
+            return ht
+    raise ValueError(
+        f"no H tile fits VMEM for H={hh}, wp2={wp2}, cin_p={cin_p}"
+    )
+
+
+def conv3d_k3(
+    x: jax.Array,
+    w: np.ndarray,
+    bias: Optional[np.ndarray] = None,
+    bn: Optional[Tuple] = None,
+    pack: Optional[int] = None,
+    relu: bool = True,
+    interpret: bool = False,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Convenience wrapper: raw torch-layout-free weights in, volume out.
+
+    :param x: (D, H, W, Cin).
+    :param w: (3,3,3,Cin,Cout) numpy conv weights (flax kernel layout).
+    :param bias: optional (Cout,) conv bias.
+    :param bn: optional (scale, bias, mean, var) to fold.
+    :param pack: W packing factor; default: largest p in {16,8,4,2,1}
+        dividing W with p*Cin <= 512.
+    """
+    cin, cout = w.shape[3], w.shape[4]
+    ww = x.shape[2]
+    if pack is None:
+        pack = choose_pack(ww, cin)
+    scale = None
+    b = np.zeros(cout, np.float32) if bias is None else np.asarray(bias)
+    if bn is not None:
+        inv, bn_b = fold_bn(*bn)
+        scale = inv
+        b = b * inv + bn_b
+    pw = jnp.asarray(pack_weights(np.asarray(w), pack, scale))
+    pb = jnp.asarray(pack_bias(b, pack))
+    out = conv3d_fused(
+        x, pw, pb, pack, relu=relu, interpret=interpret, out_dtype=out_dtype
+    )
+    return unpack_output(out, pack, cout)
+
+
+def choose_pack(ww: int, cin: int, max_lanes: int = 512) -> int:
+    """Largest pack in {16, 8, 4, 2, 1} dividing W with pack*Cin <= limit."""
+    for p in (16, 8, 4, 2, 1):
+        if ww % p == 0 and _round_up(p * cin, LANE) <= max_lanes:
+            return p
+    return 1

@@ -570,6 +570,46 @@ class Model:
             "batch_stats": self._variables.get("batch_stats", {}),
         }
 
+    def _make_whole_volume_predict(self, model, variables, compute_dtype):
+        """Whole-volume predict: fused Pallas engine on TPU when supported,
+        plain jitted model.apply otherwise."""
+        from . import engine
+
+        backend = self.devices[0].platform if self.devices else ""
+        use_engine = (
+            bool(self.params.get("use_engine", True))
+            and engine.supports(self.params["model_class"])
+            and backend not in ("cpu",)
+        )
+        if use_engine:
+            try:
+                eng = engine.build_predict(
+                    self.params["model_class"], variables,
+                    compute_dtype=compute_dtype,
+                )
+                atlas = self._atlas
+
+                def predict(variables_unused, images):
+                    chans = [images.astype(compute_dtype)]
+                    if atlas is not None:
+                        chans.append(
+                            jnp.broadcast_to(
+                                jnp.asarray(atlas, compute_dtype)[None],
+                                images.shape,
+                            )
+                        )
+                    return eng(jnp.stack(chans, axis=-1))
+
+                return predict
+            except Exception as e:
+                print(
+                    f"engine unavailable ({type(e).__name__}: {e}); "
+                    "falling back to XLA forward."
+                )
+        return steps.make_predict_fn(
+            model, atlas=self._atlas, compute_dtype=compute_dtype
+        )
+
     def _forward_pass_test(self) -> None:
         print("Phase: test.")
         if self.params.get("largest_cc"):
@@ -593,8 +633,8 @@ class Model:
                 compute_dtype=compute_dtype,
             )
         else:
-            predict = steps.make_predict_fn(
-                model, atlas=self._atlas, compute_dtype=compute_dtype
+            predict = self._make_whole_volume_predict(
+                model, variables, compute_dtype
             )
 
         multiple = _POOL_MULTIPLE.get(self.params["model_class"], 16)
