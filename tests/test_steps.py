@@ -1,0 +1,151 @@
+"""Train/eval step + optimizer tests: the jitted training core."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from ctunet_tpu import problem, steps
+from ctunet_tpu.data.synthetic import spherical_shell
+from ctunet_tpu.models import build_model
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = build_model("UNetSP", compute_dtype="float32",
+                        use_checkpoint=False)
+    s = 16
+    x = jnp.zeros((1, s, s, s, 2), jnp.float32)
+    variables = jax.jit(model.init, static_argnums=(2,))(
+        jax.random.key(0), x, False
+    )
+    handler = problem.FlapRecWithShapePriorDoubleOut()
+    atlas = spherical_shell((s, s, s)).astype(np.float32)
+    batch = {
+        "image": jnp.stack(
+            [jnp.asarray(spherical_shell((s, s, s), seed=i), jnp.float32)
+             for i in range(2)]
+        )
+    }
+    return model, variables, handler, atlas, batch
+
+
+def _state(variables, optimizer):
+    return steps.TrainState(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=optimizer.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def test_train_step_decreases_loss(setup):
+    model, variables, handler, atlas, batch = setup
+    opt = steps.make_optimizer(
+        {"optimizer": "adam", "learning_rate": 3e-3, "weight_decay": 0.0}
+    )
+    state = _state(variables, opt)
+    cfg = {"ce_lambda": 1.0, "dice_lambda": 1.0, "save_dice_plots": False}
+    train = steps.make_train_step(
+        model, handler, opt, cfg, atlas=atlas,
+        compute_dtype=jnp.float32, donate=False,
+    )
+    losses = []
+    for i in range(8):
+        state, terms = train(state, batch, jax.random.key(7))  # fixed key
+        losses.append(float(terms["epoch_loss"]))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 8
+
+
+def test_train_step_metrics_keys(setup):
+    model, variables, handler, atlas, batch = setup
+    opt = steps.make_optimizer({"optimizer": "adam", "learning_rate": 1e-3})
+    state = _state(variables, opt)
+    cfg = {"ce_lambda": 1.0, "dice_lambda": 1.0, "save_dice_plots": True}
+    train = steps.make_train_step(
+        model, handler, opt, cfg, atlas=atlas,
+        compute_dtype=jnp.float32, donate=False,
+    )
+    _, terms = train(state, batch, jax.random.key(0))
+    assert set(terms) == {
+        "ce_sk", "ce_fl", "dice_loss_sk", "dice_loss_fl",
+        "dice_coef_sk", "dice_coef_fl", "epoch_loss",
+    }
+    # weighted-term bookkeeping: total = sum of loss terms
+    total = sum(
+        float(terms[k]) for k in ("ce_sk", "ce_fl", "dice_loss_sk",
+                                  "dice_loss_fl")
+    )
+    assert float(terms["epoch_loss"]) == pytest.approx(total, rel=1e-5)
+
+
+def test_eval_step_no_param_mutation(setup):
+    model, variables, handler, atlas, batch = setup
+    opt = steps.make_optimizer({"optimizer": "adam", "learning_rate": 1e-3})
+    state = _state(variables, opt)
+    ev = steps.make_eval_step(
+        model, handler, {"ce_lambda": 1.0, "dice_lambda": 0.0},
+        atlas=atlas, compute_dtype=jnp.float32,
+    )
+    terms, (out, targets) = ev(state, batch, jax.random.key(0))
+    assert np.isfinite(float(terms["epoch_loss"]))
+    full, flap = out
+    assert full.shape[0] == 2
+
+
+def test_from_pairs_path(setup):
+    model, variables, handler, atlas, _ = setup
+    opt = steps.make_optimizer({"optimizer": "adam", "learning_rate": 1e-3})
+    state = _state(variables, opt)
+    s = 16
+    broken = jnp.stack(
+        [jnp.asarray(spherical_shell((s, s, s)), jnp.float32)] * 2
+    )
+    flap = jnp.zeros_like(broken).at[:, 4:6, 4:6, 4:6].set(1.0)
+    train = steps.make_train_step(
+        model, handler, opt, {"ce_lambda": 1.0, "dice_lambda": 1.0},
+        atlas=atlas, compute_dtype=jnp.float32, from_pairs=True,
+        donate=False,
+    )
+    _, terms = train(state, {"image": broken, "flap": flap},
+                     jax.random.key(0))
+    assert np.isfinite(float(terms["epoch_loss"]))
+
+
+@pytest.mark.parametrize(
+    "name", ["adam", "adamw", "rmsprop", "sgd"]
+)
+def test_make_optimizer_variants(name):
+    opt = steps.make_optimizer(
+        {"optimizer": name, "learning_rate": 1e-3, "momentum": 0.9,
+         "weight_decay": 1e-4}
+    )
+    params = {"w": jnp.ones((4, 4))}
+    st = opt.init(params)
+    grads = {"w": jnp.full((4, 4), 0.5)}
+    updates, _ = opt.update(grads, st, params, value=jnp.asarray(1.0))
+    assert jax.tree.leaves(updates)[0].shape == (4, 4)
+
+
+def test_make_optimizer_unknown_raises():
+    with pytest.raises(KeyError):
+        steps.make_optimizer({"optimizer": "lion", "learning_rate": 1e-3})
+
+
+def test_scheduler_reduces_lr_on_plateau():
+    """Plateau scheduler scales updates down after `patience` flat steps
+    (torch ReduceLROnPlateau defaults, stepped per batch — quirk Q4)."""
+    opt = steps.make_optimizer(
+        {"optimizer": "sgd", "learning_rate": 1.0, "scheduler": True}
+    )
+    params = {"w": jnp.ones(())}
+    st = opt.init(params)
+    grads = {"w": jnp.asarray(1.0)}
+    first = None
+    for i in range(15):
+        updates, st = opt.update(grads, st, params, value=jnp.asarray(5.0))
+        if first is None:
+            first = float(updates["w"])
+    assert abs(float(updates["w"])) < abs(first)  # lr reduced
