@@ -32,15 +32,19 @@ import numpy as np
 
 from .ops.pallas import conv3d as pc
 
-# Structural config per registered generic-family model
-# (mirrors ctunet/pytorch/models.py:272-387).
+# Structural config per registered model
+# (mirrors ctunet/pytorch/models.py:272-387 and 441-557).
 ENGINE_CONFIGS: Dict[str, Dict[str, Any]] = {
-    "UNet4b2i3o": dict(n_blocks=4, i_size=7, head=None),
-    "UNet5b2i3o": dict(n_blocks=5, i_size=4, head=None),
-    "UNet4b1i3o": dict(n_blocks=4, i_size=7, head=None),
-    "UNetSP": dict(n_blocks=4, i_size=7, head="double"),
-    "UNetSPSmall": dict(n_blocks=5, i_size=4, head="double_softmax"),
-    "UNetDO": dict(n_blocks=4, i_size=7, head="double"),
+    "UNet4b2i3o": dict(n_blocks=4, i_size=7, head=None, family="generic"),
+    "UNet5b2i3o": dict(n_blocks=5, i_size=4, head=None, family="generic"),
+    "UNet4b1i3o": dict(n_blocks=4, i_size=7, head=None, family="generic"),
+    "UNetSP": dict(n_blocks=4, i_size=7, head="double", family="generic"),
+    "UNetSPSmall": dict(
+        n_blocks=5, i_size=4, head="double_softmax", family="generic"
+    ),
+    "UNetDO": dict(n_blocks=4, i_size=7, head="double", family="generic"),
+    "recAE_v2_fixed": dict(n_blocks=4, head=None, family="legacy"),
+    "UNet4_2IC": dict(n_blocks=4, head=None, family="legacy"),
 }
 
 
@@ -71,6 +75,7 @@ class _FusedUnit:
         self.w = w
         self.scale = inv
         self.bias = conv_bias * inv + bn_b
+        self.k = w.shape[0]
         self.cin = w.shape[3]
         self.cout = w.shape[4]
         self.interpret = interpret
@@ -86,12 +91,12 @@ class _FusedUnit:
 
     def __call__(self, x: jax.Array) -> jax.Array:
         ww = x.shape[2]
-        pack = pc.choose_pack(ww, self.cin)
         try:
+            pack = pc.choose_pack(ww, self.cin, k=self.k)
             pw, pb = self._get_packed(pack)
             out = pc.conv3d_fused(
-                x, pw, pb, pack, relu=True, interpret=self.interpret,
-                out_dtype=x.dtype,
+                x, pw, pb, pack, k=self.k, relu=True,
+                interpret=self.interpret, out_dtype=x.dtype,
             )
             return pc.unpack_output(out, pack, self.cout)
         except (ValueError, AssertionError):
@@ -144,6 +149,10 @@ def build_predict(
     checkpoint load / torch port.
     """
     cfg = ENGINE_CONFIGS[model_class]
+    if cfg["family"] == "legacy":
+        return _build_legacy_predict(
+            cfg, variables, compute_dtype, interpret
+        )
     n_blocks = cfg["n_blocks"]
     params = variables["params"]["unet"]
     stats = variables["batch_stats"]["unet"]
@@ -214,6 +223,64 @@ def build_predict(
                 jax.nn.softmax(fl.astype(jnp.float32), axis=-1),
             )
         return full, fl
+
+    @jax.jit
+    def predict(images: jax.Array):
+        outs = [forward_one(images[i]) for i in range(images.shape[0])]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+
+    return predict
+
+
+def _build_legacy_predict(cfg, variables, compute_dtype, interpret):
+    """Legacy ``recAE_v2_fixed`` family (``models.py:441-538``): k=5 biased
+    convs, live center block, softmax head — via the k=5 packed-tap kernel."""
+    params = variables["params"]
+    stats = variables["batch_stats"]
+
+    def units(name):
+        return [
+            _FusedUnit(params[name][f"unit{j}"], stats[name][f"unit{j}"],
+                       interpret)
+            for j in range(2)
+        ]
+
+    d_units = [units(f"dblock{i + 1}") for i in range(4)]
+    c_units = units("cblock_center")
+    u_units = [units(f"ublock{i + 1}") for i in range(4)]
+    up_kernels = [
+        (
+            jnp.asarray(_np(params[f"ublock{i + 1}"]["upconv"]["kernel"])),
+            jnp.asarray(_np(params[f"ublock{i + 1}"]["upconv"]["bias"])),
+        )
+        for i in range(4)
+    ]
+    lc_k = jnp.asarray(_np(params["last_conv"]["kernel"]))
+    lc_b = jnp.asarray(_np(params["last_conv"]["bias"]))
+
+    def forward_one(x):
+        x = x.astype(compute_dtype)
+        skips = []
+        for i in range(4):
+            x = d_units[i][0](x)
+            x = d_units[i][1](x)
+            skips.append(x)
+            x = _maxpool2(x)
+        x = c_units[0](x)
+        x = c_units[1](x)
+        for i in range(4):
+            ker, b = up_kernels[i]
+            x = _conv_transpose_k2s2(x, ker, b)
+            x = u_units[i][0](x)
+            x = u_units[i][1](x)
+            x = jnp.concatenate([x, skips[3 - i]], axis=-1)
+        out = (
+            jnp.einsum("zyxi,io->zyxo", x, lc_k[0, 0, 0].astype(x.dtype))
+            + lc_b.astype(x.dtype)
+        )
+        return jax.nn.softmax(out.astype(jnp.float32), axis=-1).astype(
+            compute_dtype
+        )
 
     @jax.jit
     def predict(images: jax.Array):

@@ -53,28 +53,36 @@ def pack_weights(
     pack: int,
     scale: Optional[np.ndarray] = None,
 ) -> np.ndarray:
-    """Pack (3,3,3,Cin,Cout) conv weights for a W-packed-by-``pack`` input.
+    """Pack (k,k,k,Cin,Cout) conv weights for a W-packed-by-``pack`` input.
 
+    The packed-W tap index stays in {-1, 0, 1} as long as ``pack >= k//2``
+    (k=3: any pack; k=5: pack >= 2), so the packed kernel is (k, k, 3).
     Optionally folds a per-output-channel BN scale. Returns
-    (27, pack*Cin padded to 128, pack*Cout padded to 128) float32.
+    (k*k*3, pack*Cin padded to 128, pack*Cout padded to 128) float32.
     """
-    assert w.shape[:3] == (3, 3, 3), f"k=3 only, got {w.shape}"
+    k = w.shape[0]
+    assert w.shape[:3] == (k, k, k) and k % 2 == 1, f"odd k only, got {w.shape}"
+    half = k // 2
+    assert pack >= max(1, half), (
+        f"pack={pack} too small for k={k} (packed taps would exceed 3)"
+    )
     cin, cout = w.shape[3], w.shape[4]
     w = np.asarray(w, np.float32)
     if scale is not None:
         w = w * np.asarray(scale, np.float32)[None, None, None, None, :]
     cin_p = _round_up(pack * cin, LANE)
     cout_p = _round_up(pack * cout, LANE)
-    out = np.zeros((3, 3, 3, cin_p, cout_p), np.float32)
-    for dx in range(3):
+    out = np.zeros((k, k, 3, cin_p, cout_p), np.float32)
+    for dx in range(k):
         for s in range(pack):
-            u = s + dx - 1
-            t = (u + pack) // pack - 1  # floor(u / pack) for u >= -1
+            u = s + dx - half
+            t = (u + pack) // pack - 1  # floor(u / pack) for u >= -pack
+            assert -1 <= t <= 1
             r = u - t * pack
             out[:, :, t + 1, r * cin : (r + 1) * cin, s * cout : (s + 1) * cout] = w[
                 :, :, dx
             ]
-    return out.reshape(27, cin_p, cout_p)
+    return out.reshape(k * k * 3, cin_p, cout_p)
 
 
 def pack_bias(bias: np.ndarray, pack: int) -> np.ndarray:
@@ -96,12 +104,12 @@ def fold_bn(bn_scale, bn_bias, bn_mean, bn_var, eps: float = 1e-5):
 
 
 def _kernel(xp_hbm, w_ref, b_ref, out_ref, slab, acc, sem, *, taps, rout,
-            n_slab_rows, relu):
+            n_slab_rows, relu, kd):
     z = pl.program_id(0)
     h = pl.program_id(1)
     row0 = h * rout
     cp = pltpu.make_async_copy(
-        xp_hbm.at[pl.ds(z, 3), pl.ds(row0, n_slab_rows)], slab, sem
+        xp_hbm.at[pl.ds(z, kd), pl.ds(row0, n_slab_rows)], slab, sem
     )
     cp.start()
     cp.wait()
@@ -123,20 +131,22 @@ def conv3d_fused(
     packed_w: jax.Array,
     packed_b: jax.Array,
     pack: int,
+    k: int = 3,
     relu: bool = True,
     h_tile: Optional[int] = None,
     interpret: bool = False,
     out_dtype=jnp.bfloat16,
 ) -> jax.Array:
-    """Fused Conv3D(k=3, SAME) + bias + ReLU on a single volume.
+    """Fused Conv3D(odd k, SAME) + bias + ReLU on a single volume.
 
     :param x: (D, H, W, Cin) input, W divisible by ``pack``.
-    :param packed_w: (27, Cin_p, Cout_p) from :func:`pack_weights`.
+    :param packed_w: (k*k*3, Cin_p, Cout_p) from :func:`pack_weights`.
     :param packed_b: (1, Cout_p) from :func:`pack_bias` (BN-folded).
     :returns: (D, H, W, Cout) in ``out_dtype``.
     """
     d, hh, ww, cin = x.shape
     assert ww % pack == 0, f"W={ww} not divisible by pack={pack}"
+    half = k // 2
     wp = ww // pack
     cin_pk = pack * cin
     cin_p = packed_w.shape[1]
@@ -144,32 +154,35 @@ def conv3d_fused(
     wp2 = wp + 2
 
     if h_tile is None:
-        h_tile = _pick_h_tile(hh, wp2, cin_p, cout_p)
+        h_tile = _pick_h_tile(hh, wp2, cin_p, cout_p, k=k)
     assert hh % h_tile == 0, f"H={hh} not divisible by h_tile={h_tile}"
     n_h = hh // h_tile
     rout = h_tile * wp2
     assert (rout % 8) == 0, (
         f"h_tile*(W/pack+2)={rout} must be a multiple of 8"
     )
-    n_slab_rows = _round_up((h_tile + 2) * wp2 + 2, 8)
+    n_slab_rows = _round_up((h_tile + 2 * half) * wp2 + 2, 8)
 
-    # Pack (pure reshape), pad spatially by 1, pad channels to Cin_p, and
-    # flatten (h, w') rows; add slack rows so the last tile's DMA stays in
-    # range.
+    # Pack (pure reshape), pad D/H by k//2 and packed-W by 1, pad channels
+    # to Cin_p, and flatten (h, w') rows; add slack rows so the last tile's
+    # DMA stays in range.
     xq = x.reshape(d, hh, wp, cin_pk)
-    rows_full = _round_up((hh + 2) * wp2 + 2, 8) + n_slab_rows
+    hp = hh + 2 * half
+    rows_full = _round_up(hp * wp2 + 2, 8) + n_slab_rows
     xq = jnp.pad(
         xq,
-        ((1, 1), (1, 1), (1, 1), (0, cin_p - cin_pk)),
+        ((half, half), (half, half), (1, 1), (0, cin_p - cin_pk)),
     )
-    xq = xq.reshape(d + 2, (hh + 2) * wp2, cin_p)
-    xq = jnp.pad(xq, ((0, 0), (0, rows_full - (hh + 2) * wp2), (0, 0)))
+    xq = xq.reshape(d + 2 * half, hp * wp2, cin_p)
+    xq = jnp.pad(xq, ((0, 0), (0, rows_full - hp * wp2), (0, 0)))
 
     taps = tuple(
-        (dz, dy * wp2 + t) for dz in range(3) for dy in range(3) for t in range(3)
+        (dz, dy * wp2 + t)
+        for dz in range(k) for dy in range(k) for t in range(3)
     )
     kern = functools.partial(
-        _kernel, taps=taps, rout=rout, n_slab_rows=n_slab_rows, relu=relu
+        _kernel, taps=taps, rout=rout, n_slab_rows=n_slab_rows, relu=relu,
+        kd=k,
     )
     out = pl.pallas_call(
         kern,
@@ -185,7 +198,7 @@ def conv3d_fused(
         ),
         out_shape=jax.ShapeDtypeStruct((d, hh * wp2, cout_p), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((3, n_slab_rows, cin_p), x.dtype),
+            pltpu.VMEM((k, n_slab_rows, cin_p), x.dtype),
             pltpu.VMEM((rout, cout_p), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
@@ -204,12 +217,12 @@ def unpack_output(out: jax.Array, pack: int, cout: int) -> jax.Array:
 
 
 def _pick_h_tile(hh: int, wp2: int, cin_p: int, cout_p: int,
-                 vmem_budget: int = 10 * 2**20) -> int:
+                 vmem_budget: int = 10 * 2**20, k: int = 3) -> int:
     """Largest H tile (multiple of 8, dividing H) fitting the VMEM budget."""
     for ht in sorted(
         {t for t in range(8, hh + 1, 8) if hh % t == 0}, reverse=True
     ):
-        slab = 3 * _round_up((ht + 2) * wp2 + 2, 8) * cin_p * 2
+        slab = k * _round_up((ht + 2 * (k // 2)) * wp2 + 2, 8) * cin_p * 2
         acc = ht * wp2 * cout_p * 4
         out_blk = ht * wp2 * cout_p * 2
         if slab + acc + out_blk <= vmem_budget:
@@ -229,19 +242,20 @@ def conv3d_k3(
     interpret: bool = False,
     out_dtype=jnp.bfloat16,
 ) -> jax.Array:
-    """Convenience wrapper: raw torch-layout-free weights in, volume out.
+    """Convenience wrapper: raw weights in, volume out (k inferred from w).
 
     :param x: (D, H, W, Cin).
-    :param w: (3,3,3,Cin,Cout) numpy conv weights (flax kernel layout).
+    :param w: (k,k,k,Cin,Cout) numpy conv weights (flax kernel layout).
     :param bias: optional (Cout,) conv bias.
     :param bn: optional (scale, bias, mean, var) to fold.
     :param pack: W packing factor; default: largest p in {16,8,4,2,1}
-        dividing W with p*Cin <= 512.
+        dividing W with p*Cin <= 512 (and p >= k//2).
     """
+    k = int(w.shape[0])
     cin, cout = w.shape[3], w.shape[4]
     ww = x.shape[2]
     if pack is None:
-        pack = choose_pack(ww, cin)
+        pack = choose_pack(ww, cin, k=k)
     scale = None
     b = np.zeros(cout, np.float32) if bias is None else np.asarray(bias)
     if bn is not None:
@@ -251,14 +265,21 @@ def conv3d_k3(
     pw = jnp.asarray(pack_weights(np.asarray(w), pack, scale))
     pb = jnp.asarray(pack_bias(b, pack))
     out = conv3d_fused(
-        x, pw, pb, pack, relu=relu, interpret=interpret, out_dtype=out_dtype
+        x, pw, pb, pack, k=k, relu=relu, interpret=interpret,
+        out_dtype=out_dtype,
     )
     return unpack_output(out, pack, cout)
 
 
-def choose_pack(ww: int, cin: int, max_lanes: int = 512) -> int:
-    """Largest pack in {16, 8, 4, 2, 1} dividing W with pack*Cin <= limit."""
+def choose_pack(ww: int, cin: int, max_lanes: int = 512, k: int = 3) -> int:
+    """Largest pack in {16,8,4,2,1} dividing W with pack*Cin <= limit and
+    pack >= k//2 (packed-tap constraint)."""
+    min_pack = max(1, k // 2)
     for p in (16, 8, 4, 2, 1):
+        if p < min_pack:
+            break
         if ww % p == 0 and _round_up(p * cin, LANE) <= max_lanes:
             return p
-    return 1
+    raise ValueError(
+        f"no legal pack for W={ww}, Cin={cin}, k={k}"
+    )

@@ -58,4 +58,20 @@ def test_engine_spsmall_softmax_head(rng):
 
 def test_supports():
     assert engine.supports("UNetSP")
-    assert not engine.supports("recAE_v2_fixed")
+    assert engine.supports("recAE_v2_fixed")
+    assert not engine.supports("NotAModel")
+
+
+def test_engine_legacy_recae(rng):
+    shape = (16, 16, 16)
+    m, vs = _variables("recAE_v2_fixed", shape, 1)
+    x = jnp.asarray(rng.random((1, *shape, 1)).astype(np.float32))
+    want = m.apply(vs, x, False)
+    predict = engine.build_predict(
+        "recAE_v2_fixed", vs, compute_dtype=jnp.float32, interpret=True
+    )
+    got = predict(x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=5e-4, rtol=1e-3
+    )
+    assert engine.supports("recAE_v2_fixed")

@@ -113,3 +113,25 @@ def test_pack_weights_zero_structure():
     t2 = pw[:, :, 2]
     assert t2[:, :, 0:2, 3 * 2 : 4 * 2].any()
     assert not t2[:, :, 2:, :].any()
+
+
+@pytest.mark.parametrize("pack", [2, 4])
+def test_conv_k5_matches_xla(rng, pack):
+    """k=5 taps (legacy model family) pack into the same 3-tap kernel."""
+    d, hh, ww, cin, cout = 6, 8, 16, 3, 4
+    x = jnp.asarray(rng.standard_normal((d, hh, ww, cin)), jnp.float32)
+    w = rng.standard_normal((5, 5, 5, cin, cout)).astype(np.float32) * 0.2
+    bias = rng.standard_normal(cout).astype(np.float32)
+    got = np.asarray(
+        pc.conv3d_k3(x, w, bias=bias, pack=pack, interpret=True,
+                     out_dtype=jnp.float32)
+    )
+    want = _xla_conv(x, w, bias)
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_pack_too_small_for_k5_raises(rng):
+    x = jnp.zeros((4, 8, 15, 2), jnp.float32)  # W=15 -> only pack 1 legal
+    w = np.zeros((5, 5, 5, 2, 2), np.float32)
+    with pytest.raises(ValueError, match="no legal pack"):
+        pc.conv3d_k3(x, w, interpret=True)
