@@ -102,6 +102,29 @@ class _FusedUnit:
         except (ValueError, AssertionError):
             return self._xla(x)
 
+    def call_packed(self, x_packed: jax.Array, pack: int) -> jax.Array:
+        """Packed-resident path: (D, H, W/pack, >=pack*Cin) in, packed out.
+
+        Falls back to unpack -> XLA conv -> repack when the kernel's shape
+        constraints don't hold (the repack is a pure reshape).
+        """
+        try:
+            pw, pb = self._get_packed(pack)
+            return pc.conv3d_fused(
+                x_packed, pw, pb, pack, k=self.k, relu=True,
+                interpret=self.interpret, out_dtype=x_packed.dtype,
+                packed_in=True,
+            )
+        except (ValueError, AssertionError):
+            std = pc.unpack_output(x_packed, pack, self.cin)
+            out = self._xla(std)
+            d, hh, ww, co = out.shape
+            out = out.reshape(d, hh, ww // pack, pack * co)
+            padc = pc._round_up(pack * co, pc.LANE) - pack * co
+            if padc:
+                out = jnp.pad(out, ((0, 0),) * 3 + ((0, padc),))
+            return out
+
     def _xla(self, x: jax.Array) -> jax.Array:
         y = jax.lax.conv_general_dilated(
             x[None],
@@ -135,6 +158,24 @@ def _maxpool2(x: jax.Array) -> jax.Array:
     d, hh, ww, c = x.shape
     x = x.reshape(d // 2, 2, hh // 2, 2, ww // 2, 2, c)
     return x.max(axis=(1, 3, 5))
+
+
+def _maxpool2_packed(x: jax.Array, pack: int, cout: int) -> jax.Array:
+    """MaxPool(2) on a packed (D, H, W/pack, >=pack*C) tensor.
+
+    W-pairs are adjacent packed positions, i.e. a channel-minor reshape —
+    no windowed reduce and no unpacking. Returns the pooled volume packed
+    by ``pack//2`` on the SAME W/pack grid (W halves, pack halves).
+    """
+    d, hh, wp, _ = x.shape
+    x = x[..., : pack * cout]
+    x = x.reshape(d, hh, wp, pack // 2, 2, cout).max(axis=4)
+    x = x.reshape(d // 2, 2, hh // 2, 2, wp, (pack // 2) * cout).max(
+        axis=(1, 3)
+    )
+    return x
+
+
 
 
 def build_predict(
@@ -190,23 +231,62 @@ def build_predict(
     head = cfg["head"]
 
     def forward_one(x: jax.Array):
+        """Packed-resident forward: pack once, pool in packed space, never
+        materialize skip concats (conv/convT over a concat = weight-split
+        sum of two convs)."""
         x = x.astype(compute_dtype)
+        d, hh, ww, _ = x.shape
+
+        # --- encoder (packed) ---
+        p = pc.choose_pack(ww, d_units[0][0].cin)
+        xp = x.reshape(d, hh, ww // p, p * x.shape[-1])
         skips = []
         for i in range(n_blocks):
-            x = d_units[i][0](x)
-            x = d_units[i][1](x)
-            skips.append(x)
-            x = _maxpool2(x)
+            xp = d_units[i][0].call_packed(xp, p)
+            xp = d_units[i][1].call_packed(xp, p)
+            cout = d_units[i][1].cout
+            skips.append((xp, p, cout))
+            if p >= 2:
+                xp = _maxpool2_packed(xp, p, cout)
+                p //= 2
+            else:
+                xp = _maxpool2(pc.unpack_output(xp, p, cout))
+
+        # --- decoder (weight-split concats) ---
+        a = pc.unpack_output(xp, p, d_units[-1][1].cout) if p > 1 else (
+            xp[..., : d_units[-1][1].cout]
+        )
+        b = None
         for idx in range(n_blocks):
             i = n_blocks - 1 - idx
-            ker, b = up_kernels[idx]
-            x = _conv_transpose_k2s2(x, ker, b)
-            x = u_units[idx][0](x)
-            x = u_units[idx][1](x)
-            x = jnp.concatenate([x, skips[i]], axis=-1)
+            ker, kb = up_kernels[idx]
+            if b is None:
+                up = _conv_transpose_k2s2(a, ker, kb)
+            else:
+                ca = a.shape[-1]
+                up = _conv_transpose_k2s2(
+                    a, ker[..., :ca], kb
+                ) + _conv_transpose_k2s2(
+                    b, ker[..., ca:], jnp.zeros_like(kb)
+                )
+            cin_u = u_units[idx][0].cin
+            pu = pc.choose_pack(up.shape[2], cin_u)
+            upk = up.reshape(
+                up.shape[0], up.shape[1], up.shape[2] // pu,
+                pu * up.shape[3],
+            )
+            upk = u_units[idx][0].call_packed(upk, pu)
+            upk = u_units[idx][1].call_packed(upk, pu)
+            a = pc.unpack_output(upk, pu, u_units[idx][1].cout)
+            sk, sp, sc = skips[i]
+            b = pc.unpack_output(sk, sp, sc)
+
+        ca = a.shape[-1]
+        lk = lc_k[0, 0, 0].astype(a.dtype)
         out = (
-            jnp.einsum("zyxi,io->zyxo", x, lc_k[0, 0, 0].astype(x.dtype))
-            + lc_b.astype(x.dtype)
+            jnp.einsum("zyxi,io->zyxo", a, lk[:ca])
+            + jnp.einsum("zyxi,io->zyxo", b, lk[ca:])
+            + lc_b.astype(a.dtype)
         )
         out = jax.nn.sigmoid(out.astype(jnp.float32)).astype(compute_dtype)
 

@@ -136,19 +136,28 @@ def conv3d_fused(
     h_tile: Optional[int] = None,
     interpret: bool = False,
     out_dtype=jnp.bfloat16,
+    packed_in: bool = False,
 ) -> jax.Array:
     """Fused Conv3D(odd k, SAME) + bias + ReLU on a single volume.
 
-    :param x: (D, H, W, Cin) input, W divisible by ``pack``.
+    :param x: (D, H, W, Cin) input, W divisible by ``pack`` — or, with
+        ``packed_in``, an already-packed (D, H, W/pack, pack*Cin) tensor
+        (zero-cost layout shared between chained kernels).
     :param packed_w: (k*k*3, Cin_p, Cout_p) from :func:`pack_weights`.
     :param packed_b: (1, Cout_p) from :func:`pack_bias` (BN-folded).
-    :returns: (D, H, W, Cout) in ``out_dtype``.
+    :returns: PACKED (D, H, W/pack, Cout_p) output.
     """
-    d, hh, ww, cin = x.shape
-    assert ww % pack == 0, f"W={ww} not divisible by pack={pack}"
+    if packed_in:
+        d, hh, wp, cin_pk = x.shape
+        ww = wp * pack
+        assert cin_pk % pack == 0
+        cin = cin_pk // pack
+    else:
+        d, hh, ww, cin = x.shape
+        assert ww % pack == 0, f"W={ww} not divisible by pack={pack}"
+        wp = ww // pack
+        cin_pk = pack * cin
     half = k // 2
-    wp = ww // pack
-    cin_pk = pack * cin
     cin_p = packed_w.shape[1]
     cout_p = packed_w.shape[2]
     wp2 = wp + 2
@@ -166,7 +175,7 @@ def conv3d_fused(
     # Pack (pure reshape), pad D/H by k//2 and packed-W by 1, pad channels
     # to Cin_p, and flatten (h, w') rows; add slack rows so the last tile's
     # DMA stays in range.
-    xq = x.reshape(d, hh, wp, cin_pk)
+    xq = x if packed_in else x.reshape(d, hh, wp, cin_pk)
     hp = hh + 2 * half
     rows_full = _round_up(hp * wp2 + 2, 8) + n_slab_rows
     xq = jnp.pad(
@@ -205,8 +214,9 @@ def conv3d_fused(
         interpret=interpret,
     )(xq, packed_w.astype(x.dtype), packed_b)
 
-    # Unflatten rows and drop the 2 pad columns per row; channel trim /
-    # W unpack happens in :func:`unpack_output`.
+    # Unflatten rows and drop the 2 pad columns per row. The result is the
+    # PACKED (D, H, W/pack, Cout_p) form — chain it into the next packed
+    # consumer directly, or apply :func:`unpack_output`.
     return out.reshape(d, hh, wp2, cout_p)[:, :, :wp, :]
 
 
