@@ -103,8 +103,8 @@ def fold_bn(bn_scale, bn_bias, bn_mean, bn_var, eps: float = 1e-5):
     return inv, bias
 
 
-def _kernel(xp_hbm, w_ref, b_ref, out_ref, slab, acc, sem, *, taps, rout,
-            n_slab_rows, relu, kd):
+def _kernel(xp_hbm, w_ref, b_ref, out_ref, slab, acc0, acc1, sem, *, taps,
+            rout, n_slab_rows, relu, kd):
     z = pl.program_id(0)
     h = pl.program_id(1)
     row0 = h * rout
@@ -113,14 +113,21 @@ def _kernel(xp_hbm, w_ref, b_ref, out_ref, slab, acc, sem, *, taps, rout,
     )
     cp.start()
     cp.wait()
-    acc[:] = jnp.zeros_like(acc)
+    # Two independent accumulation chains keep the MXU issue pipeline full
+    # (a single chain serializes each dot behind the previous VPU add).
+    acc0[:] = jnp.zeros_like(acc0)
+    acc1[:] = jnp.zeros_like(acc1)
     for i, (dz, off) in enumerate(taps):
         xs = slab[dz, off : off + rout, :]
-        acc[:] += jax.lax.dot_general(
+        d = jax.lax.dot_general(
             xs, w_ref[i], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    res = acc[:] + b_ref[0][None, :]
+        if i % 2 == 0:
+            acc0[:] += d
+        else:
+            acc1[:] += d
+    res = acc0[:] + acc1[:] + b_ref[0][None, :]
     if relu:
         res = jnp.maximum(res, 0.0)
     out_ref[0] = res.astype(out_ref.dtype)
@@ -209,6 +216,7 @@ def conv3d_fused(
         scratch_shapes=[
             pltpu.VMEM((k, n_slab_rows, cin_p), x.dtype),
             pltpu.VMEM((rout, cout_p), jnp.float32),
+            pltpu.VMEM((rout, cout_p), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -233,7 +241,7 @@ def _pick_h_tile(hh: int, wp2: int, cin_p: int, cout_p: int,
         {t for t in range(8, hh + 1, 8) if hh % t == 0}, reverse=True
     ):
         slab = k * _round_up((ht + 2 * (k // 2)) * wp2 + 2, 8) * cin_p * 2
-        acc = ht * wp2 * cout_p * 4
+        acc = 2 * ht * wp2 * cout_p * 4  # dual accumulators
         out_blk = ht * wp2 * cout_p * 2
         if slab + acc + out_blk <= vmem_budget:
             return ht
