@@ -144,7 +144,81 @@ def measure_jax(n_iters: int = 10) -> float:
     return 1.0 / sec
 
 
+def measure_train(n_iters: int = 6) -> float:
+    """Training-step throughput at the reference's headline train config
+    (UNetSP, 224x304x304, batch 1, Adam, Dice+CE; ``FlapRecSP2O.ini``),
+    with on-device synthesis fused into the step. Secondary metric."""
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ctunet_tpu import problem, steps
+    from ctunet_tpu.data.synthetic import spherical_shell
+    from ctunet_tpu.models import build_model
+
+    model = build_model("UNetSP", compute_dtype="bfloat16")
+    x = jnp.zeros((1, *SHAPE, 2), jnp.bfloat16)
+    variables = jax.jit(model.init, static_argnums=(2,))(
+        jax.random.key(0), x, False
+    )
+    optimizer = steps.make_optimizer(
+        {"optimizer": "adam", "learning_rate": 1e-4, "weight_decay": 0.0}
+    )
+    state = steps.TrainState(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=optimizer.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    handler = problem.FlapRecWithShapePriorDoubleOut()
+    atlas = spherical_shell(SHAPE, radius_frac=0.42).astype("float32")
+    batch = {
+        "image": jnp.asarray(
+            spherical_shell(SHAPE, radius_frac=0.4)[None].astype("float32")
+        )
+    }
+    train_step = steps.make_train_step(
+        model, handler, optimizer,
+        {"ce_lambda": 1.0, "dice_lambda": 1.0, "save_dice_plots": False},
+        atlas=atlas, compute_dtype=jnp.bfloat16,
+    )
+    t0 = time.perf_counter()
+    state, terms = train_step(state, batch, jax.random.key(0))
+    first_loss = float(terms["epoch_loss"])  # forces sync
+    print(
+        f"train compile+first: {time.perf_counter() - t0:.1f}s "
+        f"loss={first_loss:.4f}",
+        file=sys.stderr,
+    )
+    times = []
+    for i in range(n_iters):
+        t0 = time.perf_counter()
+        state, terms = train_step(state, batch, jax.random.key(i))
+        float(terms["epoch_loss"])  # honest sync (see measure_jax note)
+        times.append(time.perf_counter() - t0)
+    sec = min(times)
+    print(
+        f"train step (synthesis+fwd+bwd+update): {sec * 1000:.1f}ms -> "
+        f"{1.0 / sec:.2f} steps/sec",
+        file=sys.stderr,
+    )
+    return 1.0 / sec
+
+
 def main() -> None:
+    if "--train" in sys.argv:
+        vps = measure_train()
+        print(json.dumps({
+            "metric": "UNetSP 224x304x304 train steps/sec/chip",
+            "value": round(vps, 4), "unit": "steps/sec",
+        }))
+        return
     if "--measure-baseline" in sys.argv:
         vps = measure_torch_baseline()
         with open(BASELINE_FILE, "w") as f:
