@@ -1,0 +1,39 @@
+"""Drop-in compatibility: the reference's shipped example configs must
+construct a Model through our registries unchanged (flags/paths overridden
+so no data is needed)."""
+
+import glob
+import os
+
+import pytest
+
+from ctunet_tpu.trainer import Model
+from ctunet_tpu.utils import default_params, set_cfg_params
+
+REF_INIS = sorted(
+    glob.glob("/root/reference/examples/**/*.ini", recursive=True)
+)
+
+pytestmark = pytest.mark.skipif(
+    not REF_INIS, reason="reference repo not mounted"
+)
+
+
+@pytest.mark.parametrize("ini", REF_INIS, ids=lambda p: os.path.basename(p))
+def test_reference_ini_constructs_model(ini, tmp_path):
+    params = set_cfg_params(ini, default_params())
+    params.update(
+        train_flag=False,
+        test_flag=False,
+        workspace_path=str(tmp_path / "ws"),
+        device="cpu",
+    )
+    m = Model(params=params)
+    # the named classes resolve through our registries
+    assert type(m.problem_handler).__name__ in params["problem_handler"] or (
+        params["problem_handler"]
+        in type(m.problem_handler).__mro__[0].__name__
+    )
+    from ctunet_tpu.registry import MODEL_REGISTRY
+
+    assert params["model_class"] in MODEL_REGISTRY
