@@ -66,11 +66,14 @@ class ConvUnit(nn.Module):
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
-            dtype=jnp.float32,
+            dtype=jnp.float32,  # stats/normalization in f32
             param_dtype=jnp.float32,
             name="bn",
         )(x)
-        return nn.relu(x)
+        # Cast activations back to the compute dtype: otherwise every block
+        # output (and remat residual) is f32 and a 224x304x304 training step
+        # does not fit HBM.
+        return nn.relu(x).astype(self.dtype)
 
 
 class UNetBlock(nn.Module):
@@ -200,7 +203,7 @@ class ResidualBlock(nn.Module):
                 dtype=jnp.float32,
                 param_dtype=jnp.float32,
                 name="skip_bn",
-            )(sk)
+            )(sk).astype(self.dtype)
         else:
             # Equal channels: identity is the (upsampled) input. NOTE the
             # reference's ResidualBlock (models.py:145-155) would crash here
