@@ -39,6 +39,56 @@ def _pad_tuple(pad: int) -> Tuple[Tuple[int, int], ...]:
     return ((pad, pad),) * 3
 
 
+class BatchNorm(nn.Module):
+    """BatchNorm with f32 statistics but compute-dtype data path.
+
+    Same parameter/stats structure as ``nn.BatchNorm`` (scale/bias params,
+    mean/var batch_stats) so checkpoints are interchangeable, but the
+    normalization itself runs in the activation dtype — only the (tiny)
+    statistics reductions touch f32. With ``nn.BatchNorm(dtype=f32)`` every
+    block activation (and remat residual) was f32 and the 224x304x304
+    training step needed >50GB HBM.
+
+    Stats semantics match torch BatchNorm3d for normalization (biased batch
+    variance, eps=1e-5) and flax for the running average (torch stores the
+    unbiased variance in ``running_var``; a documented delta — eval-mode
+    checkpoint parity is unaffected since loaded stats are used as-is).
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", nn.initializers.zeros, None, (c,),
+            jnp.float32,
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", nn.initializers.ones, None, (c,),
+            jnp.float32,
+        )
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        shift = bias - mean * inv
+        return x * inv.astype(x.dtype) + shift.astype(x.dtype)
+
+
 class ConvUnit(nn.Module):
     """Conv3D + BatchNorm + ReLU (one torch ``Conv3d+BatchNorm3d+ReLU``)."""
 
@@ -62,18 +112,8 @@ class ConvUnit(nn.Module):
             param_dtype=self.param_dtype,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=jnp.float32,  # stats/normalization in f32
-            param_dtype=jnp.float32,
-            name="bn",
-        )(x)
-        # Cast activations back to the compute dtype: otherwise every block
-        # output (and remat residual) is f32 and a 224x304x304 training step
-        # does not fit HBM.
-        return nn.relu(x).astype(self.dtype)
+        x = BatchNorm(name="bn")(x, use_running_average=not train)
+        return nn.relu(x)
 
 
 class UNetBlock(nn.Module):
@@ -196,14 +236,9 @@ class ResidualBlock(nn.Module):
                 param_dtype=self.param_dtype,
                 name="skip_conv",
             )(sk)
-            identity = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.9,
-                epsilon=1e-5,
-                dtype=jnp.float32,
-                param_dtype=jnp.float32,
-                name="skip_bn",
-            )(sk).astype(self.dtype)
+            identity = BatchNorm(name="skip_bn")(
+                sk, use_running_average=not train
+            )
         else:
             # Equal channels: identity is the (upsampled) input. NOTE the
             # reference's ResidualBlock (models.py:145-155) would crash here
