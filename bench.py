@@ -144,10 +144,20 @@ def measure_jax(n_iters: int = 10) -> float:
     return 1.0 / sec
 
 
+TRAIN_SHAPE = (64, 128, 128)
+
+
 def measure_train(n_iters: int = 6) -> float:
-    """Training-step throughput at the reference's headline train config
-    (UNetSP, 224x304x304, batch 1, Adam, Dice+CE; ``FlapRecSP2O.ini``),
-    with on-device synthesis fused into the step. Secondary metric."""
+    """Training-step throughput at the reference's 128-res train config
+    (UNetSP, 64x128x128, batch 1, Adam, Dice+CE;
+    ``examples/UNetSPDO/FlapRecSP2O_128.ini``), with on-device synthesis
+    fused into the step. Secondary metric.
+
+    NOTE: the 224x304x304 *training* config currently OOMs on one 16GB v5e:
+    XLA's conv-backward materializes thin-channel temps with 18x lane
+    padding (see BASELINE.md). Inference at that size works (whole-volume);
+    full-res training needs the packed-conv formulation on the training
+    path (round-2 work)."""
     import jax
 
     jax.config.update(
@@ -163,7 +173,7 @@ def measure_train(n_iters: int = 6) -> float:
     from ctunet_tpu.models import build_model
 
     model = build_model("UNetSP", compute_dtype="bfloat16")
-    x = jnp.zeros((1, *SHAPE, 2), jnp.bfloat16)
+    x = jnp.zeros((1, *TRAIN_SHAPE, 2), jnp.bfloat16)
     variables = jax.jit(model.init, static_argnums=(2,))(
         jax.random.key(0), x, False
     )
@@ -177,10 +187,12 @@ def measure_train(n_iters: int = 6) -> float:
         step=jnp.zeros((), jnp.int32),
     )
     handler = problem.FlapRecWithShapePriorDoubleOut()
-    atlas = spherical_shell(SHAPE, radius_frac=0.42).astype("float32")
+    atlas = spherical_shell(TRAIN_SHAPE, radius_frac=0.42).astype("float32")
     batch = {
         "image": jnp.asarray(
-            spherical_shell(SHAPE, radius_frac=0.4)[None].astype("float32")
+            spherical_shell(TRAIN_SHAPE, radius_frac=0.4)[None].astype(
+                "float32"
+            )
         )
     }
     train_step = steps.make_train_step(
@@ -215,7 +227,7 @@ def main() -> None:
     if "--train" in sys.argv:
         vps = measure_train()
         print(json.dumps({
-            "metric": "UNetSP 224x304x304 train steps/sec/chip",
+            "metric": "UNetSP 64x128x128 train steps/sec/chip",
             "value": round(vps, 4), "unit": "steps/sec",
         }))
         return

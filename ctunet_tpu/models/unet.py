@@ -89,6 +89,44 @@ class BatchNorm(nn.Module):
         return x * inv.astype(x.dtype) + shift.astype(x.dtype)
 
 
+class PackedConv(nn.Module):
+    """Drop-in Conv3D (SAME, stride 1) computed as a W-packed conv.
+
+    Same parameter structure as ``nn.Conv`` (kernel (k,k,k,Cin,Cout)
+    + optional bias) so checkpoints/ports are unaffected; the packing is an
+    in-graph linear transform (see ``ops/packed_conv.py``) that sidesteps
+    XLA's thin-channel 3D-conv pathologies forward AND backward.
+    """
+
+    features: int
+    kernel: int = 3
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.packed_conv import packed_conv3d
+
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel,) * 3 + (cin, self.features),
+            self.param_dtype,
+        )
+        batched = x.ndim == 5
+        xb = x if batched else x[None]
+        y = packed_conv3d(xb.astype(self.dtype), kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,),
+                self.param_dtype,
+            )
+            y = y + bias.astype(y.dtype)
+        return y if batched else y[0]
+
+
 class ConvUnit(nn.Module):
     """Conv3D + BatchNorm + ReLU (one torch ``Conv3d+BatchNorm3d+ReLU``)."""
 
@@ -102,16 +140,26 @@ class ConvUnit(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(
-            self.features,
-            (self.kernel,) * 3,
-            strides=(self.stride,) * 3,
-            padding=_pad_tuple(self.pad),
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            name="conv",
-        )(x)
+        if self.stride == 1 and self.pad == self.kernel // 2:
+            x = PackedConv(
+                self.features,
+                self.kernel,
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="conv",
+            )(x)
+        else:  # general case (unused by the shipped variants)
+            x = nn.Conv(
+                self.features,
+                (self.kernel,) * 3,
+                strides=(self.stride,) * 3,
+                padding=_pad_tuple(self.pad),
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="conv",
+            )(x)
         x = BatchNorm(name="bn")(x, use_running_average=not train)
         return nn.relu(x)
 
