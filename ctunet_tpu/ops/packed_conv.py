@@ -91,17 +91,17 @@ def packed_conv3d(
     if pack is None:
         pack = choose_train_pack(ww, cin, k=k)
     if pack <= 1:
+        # No preferred_element_type: it breaks reverse-mode dtype matching
+        # for conv, and the MXU accumulates in f32 regardless.
         return jax.lax.conv_general_dilated(
             x, kernel.astype(x.dtype), (1, 1, 1), "SAME",
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
+        )
 
     pw = pack_weights_jax(kernel, pack).astype(x.dtype)
     xq = x.reshape(b, d, hh, ww // pack, pack * cin)
     y = jax.lax.conv_general_dilated(
         xq, pw, (1, 1, 1), "SAME",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     return y.reshape(b, d, hh, ww, cout)
