@@ -33,13 +33,70 @@ class TrainState(NamedTuple):
 def _net_input(images, atlas, compute_dtype):
     """Stack the (synthesized) image and optional atlas as trailing channels.
 
-    images: (B, D, H, W); atlas: (D, H, W) constant or None.
+    images: (B, D, H, W); atlas: (D, H, W) constant, (B, D, H, W) batched
+    (per-sample crops), or None.
     """
     chans = [images]
     if atlas is not None:
-        chans.append(jnp.broadcast_to(atlas[None], images.shape))
+        if atlas.ndim == images.ndim:
+            chans.append(atlas)
+        else:
+            chans.append(jnp.broadcast_to(atlas[None], images.shape))
     x = jnp.stack(chans, axis=-1)
     return x.astype(compute_dtype)
+
+
+def random_crop(key: jax.Array, volume: jax.Array, patch) -> jax.Array:
+    """Random on-device crop of a (D, H, W) volume to ``patch``.
+
+    Enables patch-based training on volumes larger than memory allows
+    whole-volume training for (nnUNet-style; the reference trains only
+    whole volumes, SURVEY.md §3.4)."""
+    maxs = jnp.asarray(
+        [max(0, s - p) for s, p in zip(volume.shape, patch)], jnp.int32
+    )
+    u = jax.random.uniform(key, (3,))
+    start = (u * (maxs.astype(jnp.float32) + 1.0)).astype(jnp.int32)
+    start = jnp.minimum(start, maxs)
+    return jax.lax.dynamic_slice(volume, tuple(start), tuple(patch))
+
+
+def make_crop_fn(train_patch, atlas):
+    """Batched random cropping with atlas alignment.
+
+    Returns ``crop(key, batch) -> (batch', atlas')`` where every volume in
+    the batch (image and, if present, flap) and the atlas are sliced at the
+    SAME per-sample offsets (the atlas is a spatial prior and must stay
+    registered to its volume)."""
+    patch = tuple(int(p) for p in train_patch)
+    atlas_c = None if atlas is None else jnp.asarray(atlas, jnp.float32)
+
+    def one(key, volume):
+        maxs = jnp.asarray(
+            [max(0, s - p) for s, p in zip(volume.shape, patch)], jnp.int32
+        )
+        u = jax.random.uniform(key, (3,))
+        start = (u * (maxs.astype(jnp.float32) + 1.0)).astype(jnp.int32)
+        start = jnp.minimum(start, maxs)
+        return start
+
+    def crop(key, batch):
+        images = batch["image"]
+        keys = jax.random.split(jax.random.fold_in(key, 777),
+                                images.shape[0])
+        starts = jax.vmap(lambda k, v: one(k, v))(keys, images)
+        slice_ = lambda v, s: jax.lax.dynamic_slice(v, tuple(s), patch)
+        out = dict(batch)
+        out["image"] = jax.vmap(slice_)(images, starts)
+        if "flap" in batch:
+            out["flap"] = jax.vmap(slice_)(batch["flap"], starts)
+        atlas_b = (
+            None if atlas_c is None
+            else jax.vmap(lambda s: slice_(atlas_c, s))(starts)
+        )
+        return out, atlas_b
+
+    return crop
 
 
 def make_synth_fn(handler, from_pairs: bool = False) -> Callable:
@@ -68,18 +125,25 @@ def make_train_step(
     compute_dtype=jnp.bfloat16,
     from_pairs: bool = False,
     donate: bool = True,
+    train_patch=None,
 ):
     """Build the jitted training step.
 
     Step signature: ``(state, batch, key) -> (state, metrics)`` where batch
     is ``{'image': (B,D,H,W) f32[, 'flap': ...]}`` already on device.
+    With ``train_patch``, volumes (and the atlas, at matched offsets) are
+    randomly cropped on device before synthesis — patch-based training.
     """
     synth = make_synth_fn(handler, from_pairs)
     atlas_c = None if atlas is None else jnp.asarray(atlas, jnp.float32)
+    crop = None if train_patch is None else make_crop_fn(train_patch, atlas)
 
     def step(state: TrainState, batch, key):
+        atlas_x = atlas_c
+        if crop is not None:
+            batch, atlas_x = crop(key, batch)
         images, targets = synth(key, batch)
-        x = _net_input(images, atlas_c, compute_dtype)
+        x = _net_input(images, atlas_x, compute_dtype)
 
         def loss_fn(params):
             out, mut = model.apply(
@@ -113,14 +177,19 @@ def make_eval_step(
     atlas=None,
     compute_dtype=jnp.bfloat16,
     from_pairs: bool = False,
+    train_patch=None,
 ):
     """Validation step: synth targets, forward (running BN stats), losses."""
     synth = make_synth_fn(handler, from_pairs)
     atlas_c = None if atlas is None else jnp.asarray(atlas, jnp.float32)
+    crop = None if train_patch is None else make_crop_fn(train_patch, atlas)
 
     def step(state: TrainState, batch, key):
+        atlas_x = atlas_c
+        if crop is not None:
+            batch, atlas_x = crop(key, batch)
         images, targets = synth(key, batch)
-        x = _net_input(images, atlas_c, compute_dtype)
+        x = _net_input(images, atlas_x, compute_dtype)
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             x,

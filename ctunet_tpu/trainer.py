@@ -366,15 +366,17 @@ class Model:
         )
         model = self.models["main"]
         handler = self.problem_handler
+        tps = int(self.params.get("train_patch_size") or 0)
+        train_patch = (tps, tps, tps) if tps > 0 else None
         train_step = steps.make_train_step(
             model, handler, optimizer, loss_cfg,
             atlas=self._atlas, compute_dtype=compute_dtype,
-            from_pairs=self._from_pairs,
+            from_pairs=self._from_pairs, train_patch=train_patch,
         )
         eval_step = steps.make_eval_step(
             model, handler, loss_cfg,
             atlas=self._atlas, compute_dtype=compute_dtype,
-            from_pairs=self._from_pairs,
+            from_pairs=self._from_pairs, train_patch=train_patch,
         )
 
         print_params_dict(self.params)

@@ -72,6 +72,7 @@ def default_params() -> Dict[str, Any]:
         "patch_size": 128,
         "patch_overlap": 0.5,
         "use_engine": True,           # fused Pallas inference engine
+        "train_patch_size": 0,        # >0: random-crop patch training
         "prefetch_depth": 2,          # host->device pipeline depth
         "debug_nans": False,          # jax.debug_nans (ref: detect_anomaly)
         "profile_dir": "",            # jax.profiler trace output dir

@@ -149,3 +149,57 @@ def test_scheduler_reduces_lr_on_plateau():
         if first is None:
             first = float(updates["w"])
     assert abs(float(updates["w"])) < abs(first)  # lr reduced
+
+
+def test_patch_training(setup):
+    """Random-crop patch training: 32^3 volumes trained at 16^3 patches,
+    atlas cropped at matched offsets."""
+    import numpy as np
+
+    model = build_model("UNetSP", compute_dtype="float32",
+                        use_checkpoint=False)
+    s = 32
+    x = jnp.zeros((1, 16, 16, 16, 2), jnp.float32)
+    variables = jax.jit(model.init, static_argnums=(2,))(
+        jax.random.key(0), x, False
+    )
+    opt = steps.make_optimizer({"optimizer": "adam", "learning_rate": 1e-3})
+    state = steps.TrainState(
+        variables["params"], variables["batch_stats"],
+        opt.init(variables["params"]), jnp.zeros((), jnp.int32),
+    )
+    handler = __import__("ctunet_tpu.problem", fromlist=["problem"])
+    handler = handler.FlapRecWithShapePriorDoubleOut()
+    atlas = spherical_shell((s, s, s)).astype(np.float32)
+    batch = {
+        "image": jnp.stack(
+            [jnp.asarray(spherical_shell((s, s, s), seed=i), jnp.float32)
+             for i in range(2)]
+        )
+    }
+    train = steps.make_train_step(
+        model, handler, opt, {"ce_lambda": 1.0, "dice_lambda": 1.0},
+        atlas=atlas, compute_dtype=jnp.float32, donate=False,
+        train_patch=(16, 16, 16),
+    )
+    state2, terms = train(state, batch, jax.random.key(0))
+    assert np.isfinite(float(terms["epoch_loss"]))
+    # different keys crop different patches -> different losses
+    _, terms_b = train(state, batch, jax.random.key(5))
+    assert float(terms["epoch_loss"]) != float(terms_b["epoch_loss"])
+
+
+def test_crop_fn_atlas_alignment():
+    """The atlas crop must use the same offsets as the image crop."""
+    import numpy as np
+
+    vol = jnp.asarray(
+        np.arange(8 * 8 * 8, dtype=np.float32).reshape(8, 8, 8)
+    )
+    crop = steps.make_crop_fn((4, 4, 4), np.asarray(vol))
+    batch, atlas_b = crop(jax.random.key(1), {"image": vol[None]})
+    # identical source volume and atlas -> identical crops
+    np.testing.assert_array_equal(
+        np.asarray(batch["image"][0]), np.asarray(atlas_b[0])
+    )
+    assert batch["image"].shape == (1, 4, 4, 4)
