@@ -145,9 +145,11 @@ def _conv_transpose_k2s2(x: jax.Array, kernel: jax.Array,
     ``kernel``: flax transpose_kernel=True layout (2,2,2,O,I) as stored by
     the model zoo (torch ConvTranspose3d parity). With stride == kernel
     size the output decomposes exactly: out[2z+a, 2y+b, 2x+c, o] =
-    sum_i x[z,y,x,i] * k[flip(a,b,c), o, i] (gradient-of-conv flips).
+    sum_i x[z,y,x,i] * k[a, b, c, o, i] (verified against
+    nn.ConvTranspose(transpose_kernel=True) — NO spatial flip; the flip in
+    gradient-of-conv semantics cancels against flax's kernel flip).
     """
-    k = jnp.flip(kernel, axis=(0, 1, 2)).astype(x.dtype)
+    k = kernel.astype(x.dtype)
     y = jnp.einsum("zyxi,abcoi->zaybxco", x, k)
     d, _, hh, _, ww, _, co = y.shape
     y = y.reshape(d * 2, hh * 2, ww * 2, co)

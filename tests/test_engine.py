@@ -13,14 +13,24 @@ def _variables(name, shape, in_ch, seed=0):
     m = build_model(name, compute_dtype="float32", use_checkpoint=False)
     x = jnp.zeros((1, *shape, in_ch), jnp.float32)
     vs = jax.jit(m.init, static_argnums=(2,))(jax.random.key(seed), x, False)
-    # Nontrivial BN stats so folding is actually exercised.
+    # Nontrivial BN stats so folding is actually exercised — but keep the
+    # shift SMALL and positive-variance-only: a large positive running-mean
+    # perturbation used to zero every ReLU, making the decoder comparison
+    # vacuous (it masked a real transposed-conv bug).
     stats = jax.tree.map(
-        lambda s: s + jax.random.uniform(
-            jax.random.key(1), s.shape, minval=0.05, maxval=0.4
-        ),
+        lambda s: s * (1.0 + 0.1 * jax.random.uniform(
+            jax.random.key(1), s.shape
+        )) + 0.01,
         vs["batch_stats"],
     )
     return m, {"params": vs["params"], "batch_stats": stats}
+
+
+def _assert_nontrivial(outs):
+    """Guard against vacuous comparisons: outputs must actually vary."""
+    for o in jax.tree.leaves(outs):
+        o = np.asarray(o, np.float32)
+        assert float(o.std()) > 1e-3, "degenerate (constant) output"
 
 
 @pytest.mark.parametrize("name,in_ch", [("UNetSP", 2), ("UNetDO", 1)])
@@ -31,6 +41,7 @@ def test_engine_matches_model(rng, name, in_ch):
         rng.random((1, *shape, in_ch)).astype(np.float32)
     )
     want = m.apply(vs, x, False)
+    _assert_nontrivial(want)
     predict = engine.build_predict(
         name, vs, compute_dtype=jnp.float32, interpret=True
     )
@@ -46,6 +57,7 @@ def test_engine_spsmall_softmax_head(rng):
     m, vs = _variables("UNetSPSmall", shape, 2)
     x = jnp.asarray(rng.random((1, *shape, 2)).astype(np.float32))
     want = m.apply(vs, x, False)
+    _assert_nontrivial(want)
     predict = engine.build_predict(
         "UNetSPSmall", vs, compute_dtype=jnp.float32, interpret=True
     )
@@ -67,6 +79,7 @@ def test_engine_legacy_recae(rng):
     m, vs = _variables("recAE_v2_fixed", shape, 1)
     x = jnp.asarray(rng.random((1, *shape, 1)).astype(np.float32))
     want = m.apply(vs, x, False)
+    _assert_nontrivial(want)
     predict = engine.build_predict(
         "recAE_v2_fixed", vs, compute_dtype=jnp.float32, interpret=True
     )
@@ -75,3 +88,28 @@ def test_engine_legacy_recae(rng):
         np.asarray(got), np.asarray(want), atol=5e-4, rtol=1e-3
     )
     assert engine.supports("recAE_v2_fixed")
+
+
+def test_conv_transpose_helper_matches_flax(rng):
+    """Direct check of the k2s2 transposed-conv emulation against
+    nn.ConvTranspose(transpose_kernel=True) — the exact op the model zoo
+    uses (guards the no-flip semantics; a flipped version shifted every
+    upsampled voxel by one and was masked by a vacuous fixture)."""
+    import flax.linen as nn
+
+    from ctunet_tpu.engine import _conv_transpose_k2s2
+
+    x = jnp.asarray(rng.standard_normal((2, 4, 4, 3)), jnp.float32)
+    K = jnp.asarray(
+        rng.standard_normal((2, 2, 2, 2, 3)).astype(np.float32) * 0.3
+    )
+    b = jnp.asarray(rng.standard_normal(2).astype(np.float32))
+    ct = nn.ConvTranspose(
+        2, (2, 2, 2), strides=(2, 2, 2), padding="VALID",
+        transpose_kernel=True,
+    )
+    want = ct.apply({"params": {"kernel": K, "bias": b}}, x[None])[0]
+    got = _conv_transpose_k2s2(x, K, b)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-5
+    )
