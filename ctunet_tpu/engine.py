@@ -227,6 +227,28 @@ def build_predict(
         )
         for i in range(n_blocks)
     ]
+    # Precomputed matmul matrices for the Pallas convT kernel (split into
+    # (prev-output, skip) operands where the input is a weight-split concat).
+    from .ops.pallas import convt as pct
+
+    up_mats = []
+    for idx in range(n_blocks):
+        kk = _np(params[f"u{idx}"]["upconv"]["kernel"])
+        bb = _np(params[f"u{idx}"]["upconv"]["bias"])
+        if idx == 0:  # bottleneck input: no weight split
+            m, pb = pct.build_matrices(kk, bb)
+            up_mats.append(((jnp.asarray(m), jnp.asarray(pb)), None))
+        else:  # input is cat(prev u-block output, encoder skip)
+            ca = u_units[idx - 1][1].cout
+            m_a, pb = pct.build_matrices(kk[..., :ca], bb)
+            m_b, pb0 = pct.build_matrices(kk[..., ca:], np.zeros_like(bb))
+            up_mats.append(
+                (
+                    (jnp.asarray(m_a), jnp.asarray(pb)),
+                    (jnp.asarray(m_b), jnp.asarray(pb0)),
+                )
+            )
+
     lc_k = jnp.asarray(_np(params["last_conv"]["kernel"]))  # (1,1,1,I,O)
     lc_b = jnp.asarray(_np(params["last_conv"]["bias"]))
 
@@ -262,7 +284,21 @@ def build_predict(
         for idx in range(n_blocks):
             i = n_blocks - 1 - idx
             ker, kb = up_kernels[idx]
-            if b is None:
+            co_t = ker.shape[3]
+            if a.shape[2] % 8 == 0:
+                # Pallas fused convT + depth-to-space (no XLA interleave
+                # transpose); output is packed-2, unpacked by pure reshape.
+                (m_a, pb_a), mb = up_mats[idx]
+                out2 = pct.conv_transpose_k2s2(
+                    a, m_a, pb_a, interpret=interpret
+                )
+                if b is not None:
+                    m_b, pb_b = mb
+                    out2 = out2 + pct.conv_transpose_k2s2(
+                        b, m_b, pb_b, interpret=interpret
+                    )
+                up = pct.unpack2(out2, co_t)
+            elif b is None:
                 up = _conv_transpose_k2s2(a, ker, kb)
             else:
                 ca = a.shape[-1]

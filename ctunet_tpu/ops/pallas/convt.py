@@ -35,10 +35,11 @@ def build_matrices(kernel: np.ndarray, bias: np.ndarray):
     """flax transpose_kernel=True layout (2,2,2,O,I) -> per-(a,b) matmul
     weights (2,2, I, 2*O) with columns ordered (c, o), plus packed-2 bias.
 
-    Matches the einsum semantics in ``engine._conv_transpose_k2s2``:
-    out[2z+a, 2y+b, 2x+c, o] = sum_i x[z,y,x,i] * flip(K)[a,b,c,o,i].
+    Matches the verified semantics of ``nn.ConvTranspose(transpose_kernel=
+    True)`` (and ``engine._conv_transpose_k2s2``):
+    out[2z+a, 2y+b, 2x+c, o] = sum_i x[z,y,x,i] * K[a,b,c,o,i] — no flip.
     """
-    k = np.flip(np.asarray(kernel, np.float32), axis=(0, 1, 2))
+    k = np.asarray(kernel, np.float32)
     out_c = k.shape[3]
     in_c = k.shape[4]
     mats = np.transpose(k, (0, 1, 4, 2, 3)).reshape(2, 2, in_c, 2 * out_c)
@@ -46,16 +47,32 @@ def build_matrices(kernel: np.ndarray, bias: np.ndarray):
     return np.ascontiguousarray(mats), pb
 
 
-def _kernel(x_ref, w_ref, b_ref, out_ref, acc, *, hh, wh, co2):
-    xp = x_ref[0]  # (Hh*Wh, Ci)
+def _kernel(x_ref, w_ref, b_ref, out_ref, acc, *, ht, wh, co2):
+    xp = x_ref[0]  # (HT*Wh, Ci)
     for a in range(2):
         for b in range(2):
             m = jax.lax.dot_general(
                 xp, w_ref[a, b], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) + b_ref[0][None, :]
-            acc[:, b] = m.reshape(hh, wh, co2)
-        out_ref[a] = acc[:].reshape(2 * hh, wh, co2).astype(out_ref.dtype)
+            acc[:, b] = m.reshape(ht, wh, co2)
+        out_ref[a] = acc[:].reshape(2 * ht, wh, co2).astype(out_ref.dtype)
+
+
+def _pick_h_tile(hh, wh, ci, co2, vmem_budget=8 * 2**20):
+    lanes = lambda c: -(-c // 128) * 128
+    for ht in sorted((t for t in range(1, hh + 1) if hh % t == 0),
+                     reverse=True):
+        if (ht * wh) % 8:
+            continue
+        need = (
+            ht * wh * lanes(ci) * 2          # input block (bf16)
+            + ht * 2 * wh * lanes(co2) * 4   # acc scratch (f32)
+            + 2 * 2 * ht * wh * lanes(co2) * 2  # out block
+        )
+        if need <= vmem_budget:
+            return ht
+    raise ValueError(f"no H tile fits for Hh={hh}, Wh={wh}")
 
 
 def conv_transpose_k2s2(
@@ -64,26 +81,31 @@ def conv_transpose_k2s2(
     bias2: jax.Array,
     interpret: bool = False,
 ) -> jax.Array:
-    """(Dh, Hh, Wh, Ci) -> packed-2 (2Dh, 2Hh, Wh, 2*Co). Wh % 8 == 0."""
+    """(Dh, Hh, Wh, Ci) -> packed-2 (2Dh, 2Hh, Wh, 2*Co). Wh % 8 == 0.
+
+    k2s2 has no tap overlap, so H tiles need no halo; the grid is
+    (Dh, Hh/HT)."""
     dh, hh, wh, ci = x.shape
     assert wh % 8 == 0, f"Wh={wh} must be a multiple of 8"
     co2 = mats.shape[-1]
+    ht = _pick_h_tile(hh, wh, ci, co2)
+    n_h = hh // ht
     xf = x.reshape(dh, hh * wh, ci)
     out = pl.pallas_call(
-        functools.partial(_kernel, hh=hh, wh=wh, co2=co2),
-        grid=(dh,),
+        functools.partial(_kernel, ht=ht, wh=wh, co2=co2),
+        grid=(dh, n_h),
         in_specs=[
-            pl.BlockSpec((1, hh * wh, ci), lambda z: (z, 0, 0),
+            pl.BlockSpec((1, ht * wh, ci), lambda z, h: (z, h, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (2, 2 * hh, wh, co2), lambda z: (z, 0, 0, 0),
+            (2, 2 * ht, wh, co2), lambda z, h: (z, h, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((2 * dh, 2 * hh, wh, co2), x.dtype),
-        scratch_shapes=[pltpu.VMEM((hh, 2, wh, co2), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((ht, 2, wh, co2), jnp.float32)],
         interpret=interpret,
     )(xf, mats.astype(x.dtype), bias2)
     return out
