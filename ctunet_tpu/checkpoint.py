@@ -59,12 +59,35 @@ def restore_checkpoint(path: str, template_state=None) -> Dict[str, Any]:
                 "opt_state": template_state.opt_state,
                 "step": template_state.step,
             }
-            try:
+            # Inspect the stored tree first: only fall back to a raw restore
+            # when the checkpoint genuinely lacks keys the template expects
+            # (e.g. a best-model-only save without opt_state); a corrupt or
+            # shape-mismatched checkpoint still raises.
+            stored_keys = _stored_top_keys(path)
+            if stored_keys is None or set(template) <= stored_keys:
                 return ckptr.restore(path, template)
-            except Exception:
-                # Checkpoint without opt_state (e.g. best-model-only save).
-                pass
+            print(
+                f"checkpoint {path} lacks {set(template) - stored_keys}; "
+                "restoring raw tree (no template)."
+            )
         return ckptr.restore(path)
+
+
+def _stored_top_keys(path: str) -> Optional[set]:
+    """Top-level pytree keys recorded in an orbax checkpoint's _METADATA."""
+    import json
+
+    try:
+        with open(os.path.join(path, "_METADATA")) as f:
+            md = json.load(f)
+        keys = set()
+        for item in md.get("tree_metadata", {}).values():
+            km = item.get("key_metadata") or []
+            if km:
+                keys.add(km[0]["key"])
+        return keys or None
+    except Exception:
+        return None
 
 
 def is_torch_checkpoint(path: str) -> bool:

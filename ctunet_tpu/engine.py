@@ -16,9 +16,9 @@ tests in ``tests/test_engine.py``). Layers whose shapes don't satisfy the
 kernel's constraints fall back to the XLA conv transparently.
 
 Supports the generic UNet family (UNetSP / UNetSPSmall / UNetDO /
-UNet4b2i3o / UNet5b2i3o / UNet4b1i3o). The legacy k=5 models fall back to
-``model.apply`` entirely (the packed-tap kernel is k=3; a k=5 variant is
-future work).
+UNet4b2i3o / UNet5b2i3o / UNet4b1i3o) and the legacy k=5 family
+(recAE_v2_fixed / UNet4_2IC) via fused k=5 packed-tap units with a live
+center block and softmax head (see ``_build_legacy_predict``).
 """
 
 from __future__ import annotations

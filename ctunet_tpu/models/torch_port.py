@@ -36,14 +36,135 @@ def load_state_dict(path: str) -> Dict[str, np.ndarray]:
 
     Accepts both formats the reference produces/loads
     (``Model.py:464-472``): a plain state_dict, or a pickled module (then
-    its ``state_dict()`` is taken). Uses torch if importable.
+    its ``state_dict()`` is taken). Uses torch if importable; otherwise the
+    torch-free unpickler below (zip-format ``.pt`` files).
     """
-    import torch
+    try:
+        import torch
+    except ImportError:
+        return _load_state_dict_torch_free(path)
 
     loaded = torch.load(path, map_location="cpu", weights_only=False)
     if not isinstance(loaded, dict):
         loaded = loaded.state_dict()
     return {k: v.detach().cpu().numpy() for k, v in loaded.items()}
+
+
+# ---------------------------------------------------------------------------
+# torch-free .pt reader (zip serialization format, torch >= 1.6)
+# ---------------------------------------------------------------------------
+
+_STORAGE_DTYPES = {
+    "FloatStorage": np.float32,
+    "DoubleStorage": np.float64,
+    "HalfStorage": np.float16,
+    "LongStorage": np.int64,
+    "IntStorage": np.int32,
+    "ShortStorage": np.int16,
+    "CharStorage": np.int8,
+    "ByteStorage": np.uint8,
+    "BoolStorage": np.bool_,
+}
+
+
+class _StubModule:
+    """Placeholder for pickled ``nn.Module`` objects: state arrives via the
+    default ``__dict__`` protocol; parameters/buffers are collected by
+    :func:`_stub_state_dict`."""
+
+    def __init__(self, *args, **kwargs):  # tolerate constructor args
+        pass
+
+
+def _rebuild_tensor_v2(storage, offset, size, stride, *_):
+    arr, dtype = storage
+    itemsize = np.dtype(dtype).itemsize
+    if not size:
+        return arr[offset:offset + 1].reshape(())
+    strides = tuple(int(s) * itemsize for s in stride)
+    out = np.lib.stride_tricks.as_strided(
+        arr[offset:], shape=tuple(int(s) for s in size), strides=strides
+    )
+    return np.ascontiguousarray(out)
+
+
+def _rebuild_parameter(data, *_):
+    return data
+
+
+def _load_state_dict_torch_free(path: str) -> Dict[str, np.ndarray]:
+    """Unpickle a zip-format ``.pt`` without torch.
+
+    Supports plain tensors (``_rebuild_tensor_v2``) and pickled modules
+    (classes are stubbed; the state_dict is reassembled from the stubs'
+    ``_parameters``/``_buffers``/``_modules`` trees).
+    """
+    import pickle
+    import zipfile
+
+    zf = zipfile.ZipFile(path)
+    pkl_names = [n for n in zf.namelist() if n.endswith("/data.pkl")]
+    if not pkl_names:
+        raise ValueError(
+            f"{path} is not a zip-format torch checkpoint (legacy tar-format "
+            ".pt files need torch installed to load)"
+        )
+    prefix = pkl_names[0][: -len("/data.pkl")]
+
+    class Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            if module == "torch._utils" and name == "_rebuild_tensor_v2":
+                return _rebuild_tensor_v2
+            if module == "torch._utils" and name == "_rebuild_parameter":
+                return _rebuild_parameter
+            if module == "torch" and name in _STORAGE_DTYPES:
+                return ("storage_type", name)
+            if module in ("builtins", "collections", "copyreg"):
+                import importlib
+
+                return getattr(importlib.import_module(module), name)
+            # Anything else (nn.Module subclasses in pickled-module files,
+            # torch.nn containers, the reference's model classes): stub it.
+            return type(name, (_StubModule,), {"__module__": module})
+
+        def persistent_load(self, pid):
+            kind, storage_type, key, _location, _numel = pid
+            assert kind == "storage", f"unknown persistent id {pid!r}"
+            name = (
+                storage_type[1]
+                if isinstance(storage_type, tuple)
+                else storage_type.__name__
+            )
+            dtype = _STORAGE_DTYPES[name]
+            raw = zf.read(f"{prefix}/data/{key}")
+            return (np.frombuffer(raw, dtype=dtype), dtype)
+
+    with zf.open(pkl_names[0]) as f:
+        loaded = Unpickler(f).load()
+
+    if isinstance(loaded, _StubModule):
+        loaded = _stub_state_dict(loaded)
+    if not isinstance(loaded, dict):
+        raise ValueError(
+            f"unsupported object of type {type(loaded).__name__} in {path}"
+        )
+    return {k: np.asarray(v) for k, v in loaded.items()}
+
+
+def _stub_state_dict(stub, prefix: str = "") -> Dict[str, np.ndarray]:
+    """Reassemble ``state_dict()`` from a stubbed pickled module tree."""
+    out: Dict[str, np.ndarray] = {}
+    d = getattr(stub, "__dict__", {})
+    for name, value in (d.get("_parameters") or {}).items():
+        if value is not None:
+            out[prefix + name] = np.asarray(value)
+    for name, value in (d.get("_buffers") or {}).items():
+        if value is not None:
+            out[prefix + name] = np.asarray(value)
+    for name, child in (d.get("_modules") or {}).items():
+        if child is not None:
+            out.update(_stub_state_dict(child, prefix + name + "."))
+    return out
 
 
 # ---------------------------------------------------------------------------

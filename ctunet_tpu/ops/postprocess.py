@@ -50,14 +50,17 @@ def largest_cc_device(mask: jax.Array) -> jax.Array:
     neighborhood max until no change, then the id with the largest count
     wins.
     """
-    m = (mask > 0).astype(jnp.float32)
+    # int32 voxel ids: float32 ids collide above 2^24 voxels (a full-res
+    # 224x304x304 volume is 20.7M), silently merging components.
+    assert mask.size < 2**31, "volume too large for int32 voxel ids"
+    m = (mask > 0).astype(jnp.int32)
     n = mask.size
     ids = (
-        jax.lax.broadcasted_iota(jnp.float32, mask.shape, 0)
+        jax.lax.broadcasted_iota(jnp.int32, mask.shape, 0)
         * mask.shape[1] * mask.shape[2]
-        + jax.lax.broadcasted_iota(jnp.float32, mask.shape, 1) * mask.shape[2]
-        + jax.lax.broadcasted_iota(jnp.float32, mask.shape, 2)
-        + 1.0
+        + jax.lax.broadcasted_iota(jnp.int32, mask.shape, 1) * mask.shape[2]
+        + jax.lax.broadcasted_iota(jnp.int32, mask.shape, 2)
+        + 1
     ) * m
 
     def cond(carry):
@@ -66,14 +69,14 @@ def largest_cc_device(mask: jax.Array) -> jax.Array:
 
     def body(carry):
         _, cur = carry
-        nxt = _cross_reduce(cur, jnp.maximum, 0.0) * m
+        nxt = _cross_reduce(cur, jnp.maximum, 0) * m
         return cur, nxt
 
-    first = _cross_reduce(ids, jnp.maximum, 0.0) * m
+    first = _cross_reduce(ids, jnp.maximum, 0) * m
     _, labels = jax.lax.while_loop(cond, body, (ids, first))
 
-    flat = labels.astype(jnp.int32).reshape(-1)
+    flat = labels.reshape(-1)
     counts = jnp.zeros((n + 2,), jnp.int32).at[flat].add(1)
     counts = counts.at[0].set(0)  # background
-    biggest = jnp.argmax(counts)
-    return (labels == biggest.astype(jnp.float32)).astype(jnp.float32) * m
+    biggest = jnp.argmax(counts).astype(jnp.int32)
+    return ((labels == biggest) & (m > 0)).astype(jnp.float32)

@@ -100,7 +100,9 @@ class ProblemHandler:
                           output_folder_name, input_imgs=None):
         """Single-output writer (ref ``ProblemHandler.py:116-163``):
         argmax -> ``pred_<name>/<file>_fl.nii.gz`` (+ input copy ``_i``),
-        with the input's physical space re-attached."""
+        with the input's physical space re-attached. A per-sample prediction
+        with an extra leading dim (several images per sample) writes one
+        ``_c{i}`` file per sub-volume (ref ``ProblemHandler.py:145-150``)."""
         print(" Saving prediction for...")
         saved = []
         preds = np.asarray(predictions)
@@ -112,7 +114,15 @@ class ProblemHandler:
             print("  " + name + "..")
             out_folder = makedir(os.path.join(path, "pred_" + output_folder_name))
             src = nifti.read(inp_path)
-            hard = self._post(np.argmax(pred, axis=-1).astype(np.float32))
+            hard = np.argmax(pred, axis=-1).astype(np.float32)
+            if hard.ndim > 3:  # several images: <file>_c{i}.nii.gz each
+                for i, sub in enumerate(hard.reshape((-1,) + hard.shape[-3:])):
+                    o_name = name.replace(".nii.gz", f"_c{i}.nii.gz")
+                    out_path = os.path.join(out_folder, o_name)
+                    nifti.write(out_path, src.with_data(self._post(sub)))
+                    saved.append(out_path)
+                continue
+            hard = self._post(hard)
             o_name = name.replace(".nii.gz", "_fl.nii.gz")
             out_path = os.path.join(out_folder, o_name)
             nifti.write(out_path, src.with_data(hard))

@@ -134,6 +134,15 @@ def make_train_step(
     With ``train_patch``, volumes (and the atlas, at matched offsets) are
     randomly cropped on device before synthesis — patch-based training.
     """
+    if not (loss_cfg.get("ce_lambda") or loss_cfg.get("dice_lambda")):
+        # The reference crashes on unset lambdas (``None * loss``,
+        # ``ProblemHandler.py:70``); a silent all-zero loss would "train"
+        # without learning, so fail loudly instead.
+        raise ValueError(
+            "Both ce_lambda and dice_lambda are unset/zero — the training "
+            "loss would be empty. Set f_dice_lambda / f_ce_lambda in the "
+            "config (the reference example INIs set both to 1)."
+        )
     synth = make_synth_fn(handler, from_pairs)
     atlas_c = None if atlas is None else jnp.asarray(atlas, jnp.float32)
     crop = None if train_patch is None else make_crop_fn(train_patch, atlas)
@@ -240,7 +249,13 @@ def make_optimizer(params_cfg: Dict[str, Any]) -> optax.GradientTransformationEx
         if wd:
             base = optax.chain(optax.add_decayed_weights(wd), base)
     elif name == "adamw":
-        base = optax.adamw(lr, weight_decay=wd)
+        # The reference uses torch AdamW(amsgrad=True) (``Model.py:521-527``)
+        # — compose amsgrad with decoupled weight decay.
+        base = optax.chain(
+            optax.scale_by_amsgrad(),
+            optax.add_decayed_weights(wd),
+            optax.scale_by_learning_rate(lr),
+        )
     elif name == "rmsprop":
         base = optax.rmsprop(lr, momentum=mom)
         if wd:
@@ -253,11 +268,14 @@ def make_optimizer(params_cfg: Dict[str, Any]) -> optax.GradientTransformationEx
         raise KeyError(f"Unknown optimizer '{name}'")
 
     if params_cfg.get("scheduler"):
-        # torch ReduceLROnPlateau defaults: factor=0.1, patience=10.
+        # torch ReduceLROnPlateau defaults (``Model.py:543-546``): factor=0.1,
+        # patience=10, threshold=1e-4 (rel), cooldown=0, min_lr=0 — stepped
+        # per BATCH with the batch loss (quirk Q4) via the ``value=`` arg.
         base = optax.chain(
             base,
             optax.contrib.reduce_on_plateau(
-                factor=0.1, patience=10, rtol=1e-4, atol=0.0
+                factor=0.1, patience=10, rtol=1e-4, atol=0.0,
+                cooldown=0, min_scale=0.0,
             ),
         )
     return optax.with_extra_args_support(base)

@@ -143,6 +143,12 @@ class Model:
             bs = int(self.params.get("batch_size") or 1)
             nd = len(self.devices)
             mesh_data = nd if (nd > 0 and bs % nd == 0) else 1
+            if mesh_data == 1 and nd > 1:
+                print(
+                    f"NOTE: batch_size={bs} does not divide over {nd} "
+                    "devices; running single-device. Set i_mesh_data (and/or "
+                    "i_mesh_spatial) to shard explicitly."
+                )
         self.mesh = make_mesh(
             mesh_data,
             self.params.get("mesh_spatial") or 1,
@@ -306,8 +312,12 @@ class Model:
         self.models["main"] = model
 
         n_ch = MODEL_INPUT_CHANNELS[self.params["model_class"]]
+        # Init at the pool-multiple-padded shape (params are shape-agnostic;
+        # non-multiple volumes are edge-padded on the test path anyway).
+        multiple = _POOL_MULTIPLE.get(self.params["model_class"], 16)
+        init_shape = tuple(s + (-s % multiple) for s in im_shape)
         dummy = jnp.zeros(
-            (1, *im_shape, n_ch),
+            (1, *init_shape, n_ch),
             jnp.dtype(self.params.get("compute_dtype") or "bfloat16"),
         )
         variables = jax.jit(model.init, static_argnums=(2,))(
@@ -402,7 +412,10 @@ class Model:
 
             if n_epoch == 1 or (
                 ep_loss_v is not None
-                and ep_loss_v < self.best_model["value"]
+                and (
+                    self.best_model["value"] is None
+                    or ep_loss_v < self.best_model["value"]
+                )
             ):
                 if self.best_model["value"] is not None:
                     print(
@@ -572,7 +585,8 @@ class Model:
             "batch_stats": self._variables.get("batch_stats", {}),
         }
 
-    def _make_whole_volume_predict(self, model, variables, compute_dtype):
+    def _make_whole_volume_predict(self, model, variables, compute_dtype,
+                                   atlas=None):
         """Whole-volume predict: fused Pallas engine on TPU when supported,
         plain jitted model.apply otherwise."""
         from . import engine
@@ -589,7 +603,6 @@ class Model:
                     self.params["model_class"], variables,
                     compute_dtype=compute_dtype,
                 )
-                atlas = self._atlas
 
                 def predict(variables_unused, images):
                     chans = [images.astype(compute_dtype)]
@@ -609,7 +622,7 @@ class Model:
                     "falling back to XLA forward."
                 )
         return steps.make_predict_fn(
-            model, atlas=self._atlas, compute_dtype=compute_dtype
+            model, atlas=atlas, compute_dtype=compute_dtype
         )
 
     def _forward_pass_test(self) -> None:
@@ -624,6 +637,15 @@ class Model:
             self.params.get("compute_dtype") or "bfloat16"
         )
 
+        multiple = _POOL_MULTIPLE.get(self.params["model_class"], 16)
+        # Pad the atlas with the same edge padding applied to the images so
+        # the atlas channel stays registered on non-multiple input sizes.
+        atlas_p = self._atlas
+        if atlas_p is not None:
+            apads = [(0, -s % multiple) for s in np.shape(atlas_p)]
+            if any(p[1] for p in apads):
+                atlas_p = np.pad(np.asarray(atlas_p), apads)
+
         if self.params.get("patch_inference"):
             from .ops.sliding_window import make_sliding_window_fn
 
@@ -631,15 +653,13 @@ class Model:
                 model,
                 patch_size=int(self.params.get("patch_size") or 128),
                 overlap=float(self.params.get("patch_overlap") or 0.5),
-                atlas=self._atlas,
+                atlas=atlas_p,
                 compute_dtype=compute_dtype,
             )
         else:
             predict = self._make_whole_volume_predict(
-                model, variables, compute_dtype
+                model, variables, compute_dtype, atlas=atlas_p
             )
-
-        multiple = _POOL_MULTIPLE.get(self.params["model_class"], 16)
         loader = self.data["test_loader"]
         for batch in iter(loader):
             images = batch["image"]
