@@ -102,6 +102,17 @@ class _FusedUnit:
         except (ValueError, AssertionError):
             return self._xla(x)
 
+    def call_chain(self, xc: jax.Array, pack: int, hh: int,
+                   wp: int) -> jax.Array:
+        """Chained-flat path: consume AND produce the canonical flat layout
+        (``ops/pallas/conv3d.py`` chained kernel) — no XLA glue between
+        chained convs."""
+        pw, pb = self._get_packed(pack)
+        return pc.conv3d_chain(
+            xc, pw, pb, hh, wp, relu=True, interpret=self.interpret,
+            out_dtype=xc.dtype,
+        )
+
     def call_packed(self, x_packed: jax.Array, pack: int) -> jax.Array:
         """Packed-resident path: (D, H, W/pack, >=pack*Cin) in, packed out.
 
@@ -254,71 +265,7 @@ def build_predict(
 
     head = cfg["head"]
 
-    def forward_one(x: jax.Array):
-        """Packed-resident forward: pack once, pool in packed space, never
-        materialize skip concats (conv/convT over a concat = weight-split
-        sum of two convs)."""
-        x = x.astype(compute_dtype)
-        d, hh, ww, _ = x.shape
-
-        # --- encoder (packed) ---
-        p = pc.choose_pack(ww, d_units[0][0].cin)
-        xp = x.reshape(d, hh, ww // p, p * x.shape[-1])
-        skips = []
-        for i in range(n_blocks):
-            xp = d_units[i][0].call_packed(xp, p)
-            xp = d_units[i][1].call_packed(xp, p)
-            cout = d_units[i][1].cout
-            skips.append((xp, p, cout))
-            if p >= 2:
-                xp = _maxpool2_packed(xp, p, cout)
-                p //= 2
-            else:
-                xp = _maxpool2(pc.unpack_output(xp, p, cout))
-
-        # --- decoder (weight-split concats) ---
-        a = pc.unpack_output(xp, p, d_units[-1][1].cout) if p > 1 else (
-            xp[..., : d_units[-1][1].cout]
-        )
-        b = None
-        for idx in range(n_blocks):
-            i = n_blocks - 1 - idx
-            ker, kb = up_kernels[idx]
-            co_t = ker.shape[3]
-            if a.shape[2] % 8 == 0:
-                # Pallas fused convT + depth-to-space (no XLA interleave
-                # transpose); output is packed-2, unpacked by pure reshape.
-                (m_a, pb_a), mb = up_mats[idx]
-                out2 = pct.conv_transpose_k2s2(
-                    a, m_a, pb_a, interpret=interpret
-                )
-                if b is not None:
-                    m_b, pb_b = mb
-                    out2 = out2 + pct.conv_transpose_k2s2(
-                        b, m_b, pb_b, interpret=interpret
-                    )
-                up = pct.unpack2(out2, co_t)
-            elif b is None:
-                up = _conv_transpose_k2s2(a, ker, kb)
-            else:
-                ca = a.shape[-1]
-                up = _conv_transpose_k2s2(
-                    a, ker[..., :ca], kb
-                ) + _conv_transpose_k2s2(
-                    b, ker[..., ca:], jnp.zeros_like(kb)
-                )
-            cin_u = u_units[idx][0].cin
-            pu = pc.choose_pack(up.shape[2], cin_u)
-            upk = up.reshape(
-                up.shape[0], up.shape[1], up.shape[2] // pu,
-                pu * up.shape[3],
-            )
-            upk = u_units[idx][0].call_packed(upk, pu)
-            upk = u_units[idx][1].call_packed(upk, pu)
-            a = pc.unpack_output(upk, pu, u_units[idx][1].cout)
-            sk, sp, sc = skips[i]
-            b = pc.unpack_output(sk, sp, sc)
-
+    def _head(a: jax.Array, b: jax.Array):
         ca = a.shape[-1]
         lk = lc_k[0, 0, 0].astype(a.dtype)
         out = (
@@ -341,6 +288,85 @@ def build_predict(
                 jax.nn.softmax(fl.astype(jnp.float32), axis=-1),
             )
         return full, fl
+
+    def _upsample(idx, a, b):
+        """ConvT(k2,s2) of cat(a, b) -> standard (2D, 2H, 2W, Co)."""
+        ker, kb = up_kernels[idx]
+        co_t = ker.shape[3]
+        if a.shape[2] % 8 == 0:
+            # Fused Pallas convT (+ depth-to-space via pure reshape); the
+            # dual variant folds the weight-split add of the skip operand
+            # into the same kernel (one launch, no full-res XLA add).
+            (m_a, pb_a), mb = up_mats[idx]
+            if b is None:
+                out2 = pct.conv_transpose_k2s2(
+                    a, m_a, pb_a, interpret=interpret
+                )
+            else:
+                out2 = pct.conv_transpose_k2s2_dual(
+                    a, b, m_a, mb[0], pb_a, interpret=interpret
+                )
+            return pct.unpack2(out2, co_t)
+        if b is None:
+            return _conv_transpose_k2s2(a, ker, kb)
+        ca = a.shape[-1]
+        return _conv_transpose_k2s2(
+            a, ker[..., :ca], kb
+        ) + _conv_transpose_k2s2(b, ker[..., ca:], jnp.zeros_like(kb))
+
+    def forward_one(x: jax.Array):
+        """Chained-flat forward: one canonical flat layout shared by every
+        fused conv (borders maintained in-kernel), packed pooling, skip
+        concats never materialized (conv/convT over a concat = weight-split
+        sum), convT+skip-add fused into one kernel."""
+        x = x.astype(compute_dtype)
+        d, hh, ww, _ = x.shape
+
+        # --- encoder (chained) ---
+        p = pc.choose_pack(ww, d_units[0][0].cin)
+        xp = x.reshape(d, hh, ww // p, p * x.shape[-1])
+        skips = []
+        dd, dh, dwp = d, hh, ww // p
+        xc = pc.to_chain(xp, p)
+        for i in range(n_blocks):
+            xc = d_units[i][0].call_chain(xc, p, dh, dwp)
+            xc = d_units[i][1].call_chain(xc, p, dh, dwp)
+            cout = d_units[i][1].cout
+            xp = pc.from_chain(xc, dh, dwp, p * cout)
+            skips.append((xp, p, cout))
+            if p >= 2:
+                xp = _maxpool2_packed(xp, p, cout)  # W/pack grid unchanged
+                p //= 2
+            else:
+                xp = _maxpool2(xp)
+                dwp //= 2
+            dd, dh = dd // 2, dh // 2
+            if i + 1 < n_blocks:
+                xc = pc.to_chain(xp, p)
+
+        # --- decoder ---
+        a = pc.unpack_output(xp, p, d_units[-1][1].cout) if p > 1 else (
+            xp[..., : d_units[-1][1].cout]
+        )
+        b = None
+        for idx in range(n_blocks):
+            i = n_blocks - 1 - idx
+            up = _upsample(idx, a, b)
+            cin_u = u_units[idx][0].cin
+            pu = pc.choose_pack(up.shape[2], cin_u)
+            ud, uh, uwp = up.shape[0], up.shape[1], up.shape[2] // pu
+            upk = up.reshape(ud, uh, uwp, pu * up.shape[3])
+            uc = pc.to_chain(upk, pu)
+            uc = u_units[idx][0].call_chain(uc, pu, uh, uwp)
+            uc = u_units[idx][1].call_chain(uc, pu, uh, uwp)
+            a = pc.unpack_output(
+                pc.from_chain(uc, uh, uwp, pu * u_units[idx][1].cout),
+                pu, u_units[idx][1].cout,
+            )
+            sk, sp, sc = skips[i]
+            b = pc.unpack_output(sk, sp, sc)
+
+        return _head(a, b)
 
     @jax.jit
     def predict(images: jax.Array):

@@ -289,6 +289,221 @@ def conv3d_k3(
     return unpack_output(out, pack, cout)
 
 
+# ---------------------------------------------------------------------------
+# Chained (flat-layout) kernel: conv -> conv with ZERO XLA glue between.
+#
+# Round-1 profiling showed ~45 ms/volume of pure layout copies, pads and
+# reshapes BETWEEN the fused conv kernels (each call re-padded and
+# re-flattened its input). The chained kernel consumes and produces one
+# canonical flat layout, with the halo zeros maintained IN-KERNEL:
+#
+#   L(D, H, wp, C; pack) = (D+2, (H+2)*wpad, Cp) where
+#     wpad = round_up(wp + 1, 8), Cp = round_up(pack*C, 128),
+#     valid (z, h, w') at [z+1, (1+h)*wpad + w', :pack*C], w' in [0, wp).
+#
+# There is no LEFT W-pad column: the zeroed right-pad columns [wp, wpad) of
+# the PREVIOUS flat row provide the left-neighbor zeros (row-major
+# adjacency), and the leading H-pad row covers the first row's left
+# neighbor. Border planes/rows are zeroed by designated grid iterations, so
+# a chain of convs needs no XLA pad/copy at all.
+# ---------------------------------------------------------------------------
+
+
+def chain_dims(wp: int, c: int, pack: int) -> Tuple[int, int]:
+    """(wpad, Cp) of the chained layout for a (.., wp, pack*c) volume."""
+    return _round_up(wp + 1, 8), _round_up(pack * c, LANE)
+
+
+def to_chain(x_packed: jax.Array, pack: int) -> jax.Array:
+    """Standard packed (D, H, wp, pack*C[+pad]) -> chained flat layout."""
+    d, hh, wp, cpk = x_packed.shape
+    wpad = _round_up(wp + 1, 8)
+    cp = _round_up(cpk, LANE)
+    x = jnp.pad(
+        x_packed,
+        ((1, 1), (1, 1), (0, wpad - wp), (0, cp - cpk)),
+    )
+    return x.reshape(d + 2, (hh + 2) * wpad, cp)
+
+
+def from_chain(
+    y: jax.Array, hh: int, wp: int, cout_pk: Optional[int] = None
+) -> jax.Array:
+    """Chained flat layout -> standard packed (D, H, wp, cout_pk)."""
+    dp2, rows, cp = y.shape
+    wpad = rows // (hh + 2)
+    y = y.reshape(dp2, hh + 2, wpad, cp)[1:-1, 1:-1, :wp, :]
+    return y if cout_pk is None else y[..., :cout_pk]
+
+
+def _chain_kernel(x_hbm, w_ref, b_ref, out_hbm, slab, acc, outbuf, zbuf,
+                  sem_in, sem_out, sem_z, *, taps, rout, dma_rows, relu,
+                  wp, wpad, ht, n_h, hh, d):
+    z = pl.program_id(0)
+    h = pl.program_id(1)
+    h0 = h * ht
+
+    @pl.when(jnp.logical_and(z == 0, h == 0))
+    def _init():
+        slab[:, 0:8, :] = jnp.zeros_like(slab[:, 0:8, :])
+        zbuf[:] = jnp.zeros_like(zbuf)
+
+    cp_in = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(z, 3), pl.ds(h0 * wpad, dma_rows)],
+        slab.at[:, pl.ds(8, dma_rows)],
+        sem_in,
+    )
+    cp_in.start()
+
+    # Border upkeep (zeros) while the slab loads: top/bottom H-pad rows of
+    # this output plane, and chunks of the D-pad planes 0 and D+1.
+    r_total = (hh + 2) * wpad
+
+    def _zero(plane, row0, nrows):
+        cp = pltpu.make_async_copy(
+            zbuf.at[pl.ds(0, nrows)],
+            out_hbm.at[plane, pl.ds(row0, nrows)],
+            sem_z,
+        )
+        cp.start()
+        cp.wait()
+
+    @pl.when(h == 0)
+    def _top():
+        _zero(z + 1, 0, wpad)
+
+    @pl.when(h == n_h - 1)
+    def _bottom():
+        _zero(z + 1, (hh + 1) * wpad, wpad)
+
+    @pl.when(z == 0)
+    def _plane0():
+        _zero(0, h * rout, rout)
+
+    @pl.when(jnp.logical_and(z == 0, h == 0))
+    def _plane0_tail():
+        _zero(0, hh * wpad, 2 * wpad)
+
+    @pl.when(z == d - 1)
+    def _planeD():
+        _zero(d + 1, h * rout, rout)
+
+    @pl.when(jnp.logical_and(z == d - 1, h == 0))
+    def _planeD_tail():
+        _zero(d + 1, hh * wpad, 2 * wpad)
+
+    cp_in.wait()
+
+    # Two independent accumulation chains keep the MXU issue pipeline full
+    # (a single chain serializes each dot behind the previous VPU add).
+    acc[0] = jnp.zeros_like(acc[0])
+    acc[1] = jnp.zeros_like(acc[1])
+    for i, (dz, off) in enumerate(taps):
+        xs = slab[dz, off: off + rout, :]
+        dres = jax.lax.dot_general(
+            xs, w_ref[i], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc[i % 2] += dres
+    res = acc[0] + acc[1] + b_ref[0][None, :]
+    if relu:
+        res = jnp.maximum(res, 0.0)
+    # Zero the W-pad columns [wp, wpad) so the next chained conv sees a
+    # correct left/right halo.
+    col = jax.lax.broadcasted_iota(jnp.int32, (rout, 1), 0) % wpad
+    res = jnp.where(col < wp, res, 0.0)
+    outbuf[:] = res.astype(outbuf.dtype)
+
+    cp_out = pltpu.make_async_copy(
+        outbuf,
+        out_hbm.at[z + 1, pl.ds((1 + h0) * wpad, rout)],
+        sem_out,
+    )
+    cp_out.start()
+    cp_out.wait()
+
+
+def conv3d_chain(
+    x: jax.Array,
+    packed_w: jax.Array,
+    packed_b: jax.Array,
+    hh: int,
+    wp: int,
+    relu: bool = True,
+    h_tile: Optional[int] = None,
+    interpret: bool = False,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Fused Conv3D(k=3, SAME)+bias+ReLU, chained-flat in AND out.
+
+    :param x: (D+2, (H+2)*wpad, Cin_p) chained layout (:func:`to_chain`).
+    :param packed_w: (27, Cin_p, Cout_p) from :func:`pack_weights`.
+    :param packed_b: (1, Cout_p) from :func:`pack_bias`.
+    :returns: (D+2, (H+2)*wpad, Cout_p) chained layout, borders zeroed.
+    """
+    dp2, rows, cin_p = x.shape
+    d = dp2 - 2
+    wpad = rows // (hh + 2)
+    assert wpad * (hh + 2) == rows and wpad % 8 == 0, (wpad, hh, rows)
+    assert wp < wpad
+    cout_p = packed_w.shape[2]
+
+    if h_tile is None:
+        h_tile = _pick_chain_h_tile(hh, wpad, cin_p, cout_p)
+    assert hh % h_tile == 0
+    ht = h_tile
+    n_h = hh // ht
+    rout = ht * wpad
+    dma_rows = (ht + 2) * wpad
+    n_slab = dma_rows + 16
+
+    taps = tuple(
+        (dz, dy * wpad + t + 7)
+        for dz in range(3) for dy in range(3) for t in range(3)
+    )
+    kern = functools.partial(
+        _chain_kernel, taps=taps, rout=rout, dma_rows=dma_rows, relu=relu,
+        wp=wp, wpad=wpad, ht=ht, n_h=n_h, hh=hh, d=d,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(d, n_h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((dp2, rows, cout_p), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((3, n_slab, cin_p), x.dtype),
+            pltpu.VMEM((2, rout, cout_p), jnp.float32),
+            pltpu.VMEM((rout, cout_p), out_dtype),
+            pltpu.VMEM((max(rout, 2 * wpad), cout_p), out_dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x, packed_w.astype(x.dtype), packed_b)
+
+
+def _pick_chain_h_tile(hh: int, wpad: int, cin_p: int, cout_p: int,
+                       vmem_budget: int = 12 * 2**20) -> int:
+    """Largest divisor of H whose scratch set fits the VMEM budget."""
+    for ht in sorted((t for t in range(1, hh + 1) if hh % t == 0),
+                     reverse=True):
+        rout = ht * wpad
+        need = (
+            3 * ((ht + 2) * wpad + 16) * cin_p * 2   # slab
+            + 2 * rout * cout_p * 4                   # f32 acc x2
+            + 2 * rout * cout_p * 2                   # outbuf + zbuf
+        )
+        if need <= vmem_budget:
+            return ht
+    raise ValueError(f"no chain H tile fits: H={hh}, wpad={wpad}")
+
+
 def choose_pack(ww: int, cin: int, max_lanes: int = 512, k: int = 3) -> int:
     """Largest pack in {16,8,4,2,1} dividing W with pack*Cin <= limit and
     pack >= k//2 (packed-tap constraint)."""
