@@ -238,14 +238,20 @@ def build_predict(
         )
         for i in range(n_blocks)
     ]
-    # Precomputed matmul matrices for the Pallas convT kernel (split into
+    up_raw = [
+        (
+            _np(params[f"u{i}"]["upconv"]["kernel"]),
+            _np(params[f"u{i}"]["upconv"]["bias"]),
+        )
+        for i in range(n_blocks)
+    ]
+    # Precomputed matmul matrices for the Pallas convT kernels (split into
     # (prev-output, skip) operands where the input is a weight-split concat).
     from .ops.pallas import convt as pct
 
     up_mats = []
     for idx in range(n_blocks):
-        kk = _np(params[f"u{idx}"]["upconv"]["kernel"])
-        bb = _np(params[f"u{idx}"]["upconv"]["bias"])
+        kk, bb = up_raw[idx]
         if idx == 0:  # bottleneck input: no weight split
             m, pb = pct.build_matrices(kk, bb)
             up_mats.append(((jnp.asarray(m), jnp.asarray(pb)), None))
@@ -259,6 +265,28 @@ def build_predict(
                     (jnp.asarray(m_b), jnp.asarray(pb0)),
                 )
             )
+
+    # Block-diagonal matrices for the chain-direct convT, built lazily per
+    # input pack (the pack is a function of the input volume's W).
+    _chain_mats: Dict[Any, Any] = {}
+
+    def _get_chain_mats(idx: int, pa: int):
+        key = (idx, pa)
+        if key not in _chain_mats:
+            kk, bb = up_raw[idx]
+            if idx == 0:
+                ma, pb = pct.build_chain_matrices(kk, bb, pa)
+                _chain_mats[key] = (jnp.asarray(ma), jnp.asarray(pb), None)
+            else:
+                ca = u_units[idx - 1][1].cout
+                ma, pb = pct.build_chain_matrices(kk[..., :ca], bb, pa)
+                mb, _ = pct.build_chain_matrices(
+                    kk[..., ca:], np.zeros_like(bb), pa
+                )
+                _chain_mats[key] = (
+                    jnp.asarray(ma), jnp.asarray(pb), jnp.asarray(mb)
+                )
+        return _chain_mats[key]
 
     lc_k = jnp.asarray(_np(params["last_conv"]["kernel"]))  # (1,1,1,I,O)
     lc_b = jnp.asarray(_np(params["last_conv"]["bias"]))
@@ -315,10 +343,12 @@ def build_predict(
         ) + _conv_transpose_k2s2(b, ker[..., ca:], jnp.zeros_like(kb))
 
     def forward_one(x: jax.Array):
-        """Chained-flat forward: one canonical flat layout shared by every
-        fused conv (borders maintained in-kernel), packed pooling, skip
-        concats never materialized (conv/convT over a concat = weight-split
-        sum), convT+skip-add fused into one kernel."""
+        """Chained-flat forward: the WHOLE U-Net body runs in one canonical
+        flat layout — fused convs, fused pooling, and chain-direct convT
+        (block-diagonal lanes, pack doubles across the upsample) all read
+        and write it with halo zeros maintained in-kernel. Skip concats are
+        never materialized (conv/convT over a concat = weight-split sum);
+        XLA touches the data only at entry and at the head."""
         x = x.astype(compute_dtype)
         d, hh, ww, _ = x.shape
 
@@ -332,41 +362,70 @@ def build_predict(
             xc = d_units[i][0].call_chain(xc, p, dh, dwp)
             xc = d_units[i][1].call_chain(xc, p, dh, dwp)
             cout = d_units[i][1].cout
-            xp = pc.from_chain(xc, dh, dwp, p * cout)
-            skips.append((xp, p, cout))
-            if p >= 2:
-                xp = _maxpool2_packed(xp, p, cout)  # W/pack grid unchanged
+            skips.append((xc, p, cout, dh, dwp))
+            if p >= 2 and dd % 2 == 0 and dh % 2 == 0:
+                xc = pc.maxpool2_chain(
+                    xc, dh, dwp, p, cout, interpret=interpret
+                )
                 p //= 2
-            else:
-                xp = _maxpool2(xp)
-                dwp //= 2
-            dd, dh = dd // 2, dh // 2
-            if i + 1 < n_blocks:
+            else:  # pack exhausted: pool in standard space (W halves)
+                xp = pc.from_chain(xc, dh, dwp, p * cout)
+                xp = _maxpool2(xp) if p == 1 else _maxpool2(
+                    pc.unpack_output(xp, p, cout)
+                )
+                p = 1
+                dwp = xp.shape[2]
                 xc = pc.to_chain(xp, p)
+            dd, dh = dd // 2, dh // 2
 
-        # --- decoder ---
-        a = pc.unpack_output(xp, p, d_units[-1][1].cout) if p > 1 else (
-            xp[..., : d_units[-1][1].cout]
-        )
-        b = None
+        # --- decoder (all-chained) ---
+        a_chain, ap, a_cout, b = xc, p, d_units[-1][1].cout, None
         for idx in range(n_blocks):
             i = n_blocks - 1 - idx
-            up = _upsample(idx, a, b)
-            cin_u = u_units[idx][0].cin
-            pu = pc.choose_pack(up.shape[2], cin_u)
-            ud, uh, uwp = up.shape[0], up.shape[1], up.shape[2] // pu
-            upk = up.reshape(ud, uh, uwp, pu * up.shape[3])
-            uc = pc.to_chain(upk, pu)
-            uc = u_units[idx][0].call_chain(uc, pu, uh, uwp)
-            uc = u_units[idx][1].call_chain(uc, pu, uh, uwp)
-            a = pc.unpack_output(
-                pc.from_chain(uc, uh, uwp, pu * u_units[idx][1].cout),
-                pu, u_units[idx][1].cout,
+            sk = skips[i]
+            chainable = b is None or (
+                b[1] == ap and b[4] == dwp and b[3] == dh
             )
-            sk, sp, sc = skips[i]
-            b = pc.unpack_output(sk, sp, sc)
+            if chainable:
+                ma, pbias, mb = _get_chain_mats(idx, ap)
+                b_c = b[0] if b is not None else None
+                a_chain = pct.conv_transpose_chain(
+                    a_chain, ma, pbias, dh, dwp,
+                    b_chain=b_c, mats_b=mb, interpret=interpret,
+                )
+                ap *= 2
+                dd, dh = dd * 2, dh * 2
+            else:  # mixed packs (e.g. after a standard-space pool)
+                a = pc.unpack_output(
+                    pc.from_chain(a_chain, dh, dwp, ap * a_cout),
+                    ap, a_cout,
+                )
+                b_std = None
+                if b is not None:
+                    bc, bp, bco, bdh, bdwp = b
+                    b_std = pc.unpack_output(
+                        pc.from_chain(bc, bdh, bdwp, bp * bco), bp, bco
+                    )
+                up = _upsample(idx, a, b_std)
+                cin_u = u_units[idx][0].cin
+                ap = pc.choose_pack(up.shape[2], cin_u)
+                dd, dh, dwp = up.shape[0], up.shape[1], up.shape[2] // ap
+                a_chain = pc.to_chain(
+                    up.reshape(dd, dh, dwp, ap * up.shape[3]), ap
+                )
+            a_chain = u_units[idx][0].call_chain(a_chain, ap, dh, dwp)
+            a_chain = u_units[idx][1].call_chain(a_chain, ap, dh, dwp)
+            a_cout = u_units[idx][1].cout
+            b = sk
 
-        return _head(a, b)
+        a = pc.unpack_output(
+            pc.from_chain(a_chain, dh, dwp, ap * a_cout), ap, a_cout
+        )
+        bc, bp, bco, bdh, bdwp = b
+        b_std = pc.unpack_output(
+            pc.from_chain(bc, bdh, bdwp, bp * bco), bp, bco
+        )
+        return _head(a, b_std)
 
     @jax.jit
     def predict(images: jax.Array):

@@ -54,7 +54,12 @@ def softmax_cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
     """
     logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    picked = jnp.take_along_axis(logp, labels[..., None], axis=-1)
+    # One-hot multiply instead of take_along_axis: XLA lowers the gather
+    # (and its scatter-add gradient) to flat-1D T(1024) ops that ran at
+    # ~80 MB/s on TPU — measured 50 ms/step of pure gather in the 128-res
+    # train step. The elementwise form fuses away entirely.
+    sel = jax.nn.one_hot(labels, logits.shape[-1], dtype=logp.dtype)
+    picked = jnp.sum(logp * sel, axis=-1)
     return -jnp.mean(picked)
 
 

@@ -504,6 +504,145 @@ def _pick_chain_h_tile(hh: int, wpad: int, cin_p: int, cout_p: int,
     raise ValueError(f"no chain H tile fits: H={hh}, wpad={wpad}")
 
 
+# ---------------------------------------------------------------------------
+# MaxPool(2) chained layout -> chained layout (pack halves, W/pack grid and
+# wpad unchanged). W-pairs are adjacent packed lanes, H-pairs adjacent rows,
+# D-pairs adjacent planes; the input's zero borders pool to zero borders, so
+# the output halo only needs the usual designated-iteration zero writes.
+# ---------------------------------------------------------------------------
+
+
+def _pool_kernel(x_hbm, out_hbm, slab, outbuf, zbuf, sem_in, sem_out, sem_z,
+                 *, ht, wpad, pack, cout, n_h, hh2, d2, rin, rout):
+    z = pl.program_id(0)
+    h = pl.program_id(1)
+    y0 = h * ht  # output-row tile start (output H = hh2)
+
+    @pl.when(jnp.logical_and(z == 0, h == 0))
+    def _init():
+        zbuf[:] = jnp.zeros_like(zbuf)
+
+    cp_in = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(1 + 2 * z, 2), pl.ds((1 + 2 * y0) * wpad, rin)],
+        slab, sem_in,
+    )
+    cp_in.start()
+
+    def _zero(plane, row0, nrows):
+        cp = pltpu.make_async_copy(
+            zbuf.at[pl.ds(0, nrows)],
+            out_hbm.at[plane, pl.ds(row0, nrows)], sem_z,
+        )
+        cp.start()
+        cp.wait()
+
+    @pl.when(h == 0)
+    def _top():
+        _zero(z + 1, 0, wpad)
+
+    @pl.when(h == n_h - 1)
+    def _bottom():
+        _zero(z + 1, (hh2 + 1) * wpad, wpad)
+
+    @pl.when(z == 0)
+    def _plane0():
+        _zero(0, h * rout, rout)
+
+    @pl.when(jnp.logical_and(z == 0, h == 0))
+    def _plane0_tail():
+        _zero(0, hh2 * wpad, 2 * wpad)
+
+    @pl.when(z == d2 - 1)
+    def _planeD():
+        _zero(d2 + 1, h * rout, rout)
+
+    @pl.when(jnp.logical_and(z == d2 - 1, h == 0))
+    def _planeD_tail():
+        _zero(d2 + 1, hh2 * wpad, 2 * wpad)
+
+    cp_in.wait()
+
+    m = jnp.maximum(slab[0], slab[1])  # D-pair
+    outbuf[:] = jnp.zeros_like(outbuf)
+    half = pack // 2
+    for yl in range(ht):  # H-pair (adjacent rows)
+        r = jnp.maximum(
+            m[(2 * yl) * wpad: (2 * yl + 1) * wpad],
+            m[(2 * yl + 1) * wpad: (2 * yl + 2) * wpad],
+        )
+        # W-pair: adjacent packed positions = adjacent lane blocks.
+        for s in range(half):
+            outbuf[yl * wpad: (yl + 1) * wpad,
+                   s * cout: (s + 1) * cout] = jnp.maximum(
+                r[:, (2 * s) * cout: (2 * s + 1) * cout],
+                r[:, (2 * s + 1) * cout: (2 * s + 2) * cout],
+            ).astype(outbuf.dtype)
+
+    cp_out = pltpu.make_async_copy(
+        outbuf, out_hbm.at[z + 1, pl.ds((1 + y0) * wpad, rout)], sem_out
+    )
+    cp_out.start()
+    cp_out.wait()
+
+
+def maxpool2_chain(
+    x: jax.Array,
+    hh: int,
+    wp: int,
+    pack: int,
+    cout: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """MaxPool(2) on a chained-layout volume; returns the next level's
+    chained layout at pack ``pack // 2`` (requires pack >= 2)."""
+    dp2, rows, cp_ = x.shape
+    d = dp2 - 2
+    wpad = rows // (hh + 2)
+    assert pack >= 2 and d % 2 == 0 and hh % 2 == 0
+    d2, hh2 = d // 2, hh // 2
+    cpo = _round_up((pack // 2) * cout, LANE)
+
+    ht = _pick_pool_h_tile(hh2, wpad, cp_, cpo)
+    n_h = hh2 // ht
+    rin = 2 * ht * wpad
+    rout = ht * wpad
+
+    kern = functools.partial(
+        _pool_kernel, ht=ht, wpad=wpad, pack=pack, cout=cout, n_h=n_h,
+        hh2=hh2, d2=d2, rin=rin, rout=rout,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(d2, n_h),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct(
+            (d2 + 2, (hh2 + 2) * wpad, cpo), x.dtype
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, rin, cp_), x.dtype),
+            pltpu.VMEM((rout, cpo), x.dtype),
+            pltpu.VMEM((max(rout, 2 * wpad), cpo), x.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x)
+
+
+def _pick_pool_h_tile(hh2, wpad, cp_in, cpo, vmem_budget=8 * 2**20):
+    for ht in sorted((t for t in range(1, min(hh2, 16) + 1) if hh2 % t == 0),
+                     reverse=True):
+        need = (
+            2 * 2 * ht * wpad * cp_in * 2
+            + 2 * ht * wpad * cpo * 2
+        )
+        if need <= vmem_budget:
+            return ht
+    raise ValueError(f"no pool H tile fits: H/2={hh2}, wpad={wpad}")
+
+
 def choose_pack(ww: int, cin: int, max_lanes: int = 512, k: int = 3) -> int:
     """Largest pack in {16,8,4,2,1} dividing W with pack*Cin <= limit and
     pack >= k//2 (packed-tap constraint)."""

@@ -22,7 +22,7 @@ smaller levels keep the einsum path.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -202,3 +202,219 @@ def _pick_h_tile_dual(hh, wh, ca, cb, co2, vmem_budget=8 * 2**20):
         if need <= vmem_budget:
             return ht
     raise ValueError(f"no H tile fits for Hh={hh}, Wh={wh}")
+
+
+# ---------------------------------------------------------------------------
+# Chain-direct variant: ConvT(k2,s2) straight from the chained flat layout
+# (ops/pallas/conv3d.py) into the chained flat layout of the next conv, at
+# pack 2*pa (the pack the decoder's conv units want). The W-doubling lands
+# in the LANES as a block-diagonal matmul (input lane (s, ci) -> output lane
+# (2s + c-parity, co)), so the packed formulation is also ~pa x denser in
+# useful MACs than the row-per-W form above, and there is zero XLA glue on
+# either side.
+# ---------------------------------------------------------------------------
+
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def build_chain_matrices(kernel: np.ndarray, bias: np.ndarray, pa: int):
+    """flax transpose_kernel layout (2,2,2,O,I) -> block-diag per-(a,b)
+    matrices (2, 2, Cin_p, Cout_p) for pack-``pa`` chained input, plus the
+    pack-``2*pa`` bias row (1, Cout_p).
+
+    M[a][b][s*Ci + c, (2s + cpar)*Co + o] = K[a, b, cpar, o, c].
+    """
+    k = np.asarray(kernel, np.float32)
+    co, ci = k.shape[3], k.shape[4]
+    cin_p = _round_up(pa * ci, LANE)
+    cout_p = _round_up(2 * pa * co, LANE)
+    m = np.zeros((2, 2, cin_p, cout_p), np.float32)
+    for s in range(pa):
+        for cpar in range(2):
+            m[:, :,
+              s * ci: (s + 1) * ci,
+              (2 * s + cpar) * co: (2 * s + cpar + 1) * co,
+              ] = np.transpose(k[:, :, cpar], (0, 1, 3, 2))
+    pb = np.zeros((1, cout_p), np.float32)
+    pb[0, : 2 * pa * co] = np.tile(np.asarray(bias, np.float32), 2 * pa)
+    return m, pb
+
+
+def _kernel_chain(a_hbm, b_hbm, ma_ref, mb_ref, bias_ref, out_hbm,
+                  abuf, bbuf, acc, outbuf, zbuf, sem_a, sem_b, sem_o,
+                  sem_z, *, ht, wpad, wp, n_h, hh, dh, rin, dual):
+    z = pl.program_id(0)
+    h = pl.program_id(1)
+    y0 = h * ht
+
+    @pl.when(jnp.logical_and(z == 0, h == 0))
+    def _init():
+        zbuf[:] = jnp.zeros_like(zbuf)
+
+    cp_a = pltpu.make_async_copy(
+        a_hbm.at[z + 1, pl.ds((1 + y0) * wpad, rin)], abuf, sem_a
+    )
+    cp_a.start()
+    if dual:
+        cp_b = pltpu.make_async_copy(
+            b_hbm.at[z + 1, pl.ds((1 + y0) * wpad, rin)], bbuf, sem_b
+        )
+        cp_b.start()
+
+    def _zero(plane, row0, nrows):
+        cp = pltpu.make_async_copy(
+            zbuf.at[pl.ds(0, nrows)],
+            out_hbm.at[plane, pl.ds(row0, nrows)],
+            sem_z,
+        )
+        cp.start()
+        cp.wait()
+
+    # Border upkeep while inputs stream in.
+    for apar in range(2):
+        @pl.when(h == 0)
+        def _top(apar=apar):
+            _zero(1 + 2 * z + apar, 0, wpad)
+
+        @pl.when(h == n_h - 1)
+        def _bottom(apar=apar):
+            _zero(1 + 2 * z + apar, (2 * hh + 1) * wpad, wpad)
+
+    @pl.when(z == 0)
+    def _plane0():
+        _zero(0, h * 2 * rin, 2 * rin)
+
+    @pl.when(jnp.logical_and(z == 0, h == 0))
+    def _plane0_tail():
+        _zero(0, 2 * hh * wpad, 2 * wpad)
+
+    @pl.when(z == dh - 1)
+    def _planeD():
+        _zero(2 * dh + 1, h * 2 * rin, 2 * rin)
+
+    @pl.when(jnp.logical_and(z == dh - 1, h == 0))
+    def _planeD_tail():
+        _zero(2 * dh + 1, 2 * hh * wpad, 2 * wpad)
+
+    cp_a.wait()
+    if dual:
+        cp_b.wait()
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (rin, 1), 0) % wpad
+    xa = abuf[:]
+    xb = bbuf[:] if dual else None
+    for apar in range(2):
+        for bpar in range(2):
+            m = jax.lax.dot_general(
+                xa, ma_ref[apar, bpar], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if dual:
+                m = m + jax.lax.dot_general(
+                    xb, mb_ref[apar, bpar], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            m = m + bias_ref[0][None, :]
+            m = jnp.where(col < wp, m, 0.0)  # W-pad columns stay zero
+            acc[bpar] = m
+        # acc rows (bpar, yl, w') must interleave as (yl, bpar, w') in the
+        # output plane; copy per-y row blocks (static loop).
+        for yl in range(ht):
+            outbuf[(2 * yl) * wpad: (2 * yl + 1) * wpad] = (
+                acc[0, yl * wpad: (yl + 1) * wpad]
+            ).astype(outbuf.dtype)
+            outbuf[(2 * yl + 1) * wpad: (2 * yl + 2) * wpad] = (
+                acc[1, yl * wpad: (yl + 1) * wpad]
+            ).astype(outbuf.dtype)
+        cp_o = pltpu.make_async_copy(
+            outbuf,
+            out_hbm.at[1 + 2 * z + apar,
+                       pl.ds((1 + 2 * y0) * wpad, 2 * rin)],
+            sem_o,
+        )
+        cp_o.start()
+        cp_o.wait()
+
+
+def conv_transpose_chain(
+    a_chain: jax.Array,
+    mats_a: jax.Array,
+    bias2: jax.Array,
+    hh: int,
+    wp: int,
+    b_chain: Optional[jax.Array] = None,
+    mats_b: Optional[jax.Array] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """ConvT(k2,s2) of ``cat(a, b)``, chained layout in -> chained out.
+
+    :param a_chain: (Dh+2, (Hh+2)*wpad, Cpa) at pack ``pa``.
+    :param mats_a: (2, 2, Cpa, Cpo) from :func:`build_chain_matrices`.
+    :param b_chain: optional second operand (same spatial chain, own lanes).
+    :returns: (2Dh+2, (2Hh+2)*wpad, Cpo) chained layout at pack ``2*pa``.
+    """
+    dh2, rows, cpa = a_chain.shape
+    dh = dh2 - 2
+    wpad = rows // (hh + 2)
+    assert wpad * (hh + 2) == rows and wpad % 8 == 0
+    cpo = mats_a.shape[-1]
+    dual = b_chain is not None
+    cpb = b_chain.shape[-1] if dual else cpa
+
+    ht = _pick_h_tile_chain(hh, wpad, cpa, cpb, cpo)
+    n_h = hh // ht
+    rin = ht * wpad
+
+    kern = functools.partial(
+        _kernel_chain, ht=ht, wpad=wpad, wp=wp, n_h=n_h, hh=hh, dh=dh,
+        rin=rin, dual=dual,
+    )
+    b_in = b_chain if dual else a_chain  # placeholder ref when single
+    mb_in = mats_b if dual else mats_a
+    return pl.pallas_call(
+        kern,
+        grid=(dh, n_h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct(
+            (2 * dh + 2, (2 * hh + 2) * wpad, cpo), a_chain.dtype
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rin, cpa), a_chain.dtype),
+            pltpu.VMEM((rin, cpb), a_chain.dtype),
+            pltpu.VMEM((2, rin, cpo), jnp.float32),
+            pltpu.VMEM((2 * rin, cpo), a_chain.dtype),
+            pltpu.VMEM((max(2 * rin, 2 * wpad), cpo), a_chain.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(a_chain, b_in, mats_a.astype(a_chain.dtype),
+      mb_in.astype(a_chain.dtype), bias2)
+
+
+def _pick_h_tile_chain(hh, wpad, cpa, cpb, cpo, vmem_budget=10 * 2**20):
+    # ht also bounds the static interleave-copy loop, so cap it.
+    for ht in sorted((t for t in range(1, min(hh, 16) + 1) if hh % t == 0),
+                     reverse=True):
+        rin = ht * wpad
+        need = (
+            rin * (cpa + cpb) * 2
+            + 2 * rin * cpo * 4
+            + 4 * rin * cpo * 2
+        )
+        if need <= vmem_budget:
+            return ht
+    raise ValueError(f"no chain H tile fits: H={hh}, wpad={wpad}")

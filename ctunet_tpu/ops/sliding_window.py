@@ -64,17 +64,26 @@ def make_sliding_window_fn(
     atlas=None,
     compute_dtype=jnp.bfloat16,
     gaussian: bool = True,
+    apply_fn=None,
 ):
     """Build ``predict(variables, images)`` running tiled inference.
 
     ``images``: (B, D, H, W) float volumes, each dim >= patch (pad first).
     Returns the model's output structure with full-volume blended maps,
     channels-last f32.
+
+    ``apply_fn``: optional per-patch forward ``(variables, x) -> out`` with
+    ``x`` (1, pz, py, px, C) — e.g. the fused Pallas engine
+    (``engine.build_predict``) so the serving path runs per patch; defaults
+    to ``model.apply``.
     """
     if isinstance(patch_size, int):
         patch = (patch_size, patch_size, patch_size)
     else:
         patch = tuple(int(p) for p in patch_size)
+    if apply_fn is None:
+        def apply_fn(variables, x):
+            return model.apply(variables, x, False)
     atlas_c = None if atlas is None else jnp.asarray(atlas, jnp.float32)
     win_np = (
         gaussian_window(patch) if gaussian
@@ -100,7 +109,7 @@ def make_sliding_window_fn(
                         jax.lax.dynamic_slice(atlas_c, (pz, py, px), patch)
                     )
                 x = jnp.stack(chans, axis=-1).astype(compute_dtype)[None]
-                out = model.apply(variables, x, False)
+                out = apply_fn(variables, x)
                 return jax.tree.map(lambda o: o[0].astype(jnp.float32), out)
 
             probe = jax.eval_shape(apply_patch, starts_dev[0])

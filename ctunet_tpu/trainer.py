@@ -441,10 +441,14 @@ class Model:
             "batch_stats": self.state.batch_stats,
         }
 
-    def _accumulate(self, terms: Dict[str, Any]) -> float:
+    def _accumulate(self, terms: Dict[str, Any]):
+        """Accumulate per-batch scalars WITHOUT forcing a device sync:
+        values stay device arrays until the epoch average (or a console
+        print) needs them, so step dispatch pipelines across batches
+        (a host<->device roundtrip per step costs ~30 ms on this setup)."""
         for k, v in terms.items():
-            self.losses_and_metrics.setdefault(k, []).append(float(v))
-        return float(terms["epoch_loss"])
+            self.losses_and_metrics.setdefault(k, []).append(v)
+        return terms["epoch_loss"]
 
     def _forward_pass_train(self, train_step, n_epoch: int) -> None:
         print("Phase: train.")
@@ -469,7 +473,7 @@ class Model:
             if log_every and (idx + 1) % log_every == 0:
                 print(
                     "    Batch {}/{} ({:.0f}%)\tLoss: {:.6f}".format(
-                        idx + 1, n, 100.0 * (idx + 1) / n, loss
+                        idx + 1, n, 100.0 * (idx + 1) / n, float(loss)
                     )
                 )
 
@@ -503,13 +507,13 @@ class Model:
         """Average + log accumulated scalars (ref ``Model.py:382-405``)."""
         ep_loss = None
         if "epoch_loss" in self.losses_and_metrics:
-            vals = self.losses_and_metrics["epoch_loss"]
+            vals = [float(v) for v in self.losses_and_metrics["epoch_loss"]]
             if vals:
                 ep_loss = float(np.mean(vals))
         for key, vals in self.losses_and_metrics.items():
             if not vals:
                 continue
-            avg = sum(vals) / len(vals)
+            avg = sum(float(v) for v in vals) / len(vals)
             self.writer.add_scalar(f"{phase}/{type}/{key}", float(avg), i)
             self.losses_and_metrics[key] = []
             if print_to_console:
