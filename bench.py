@@ -335,6 +335,12 @@ def main() -> None:
     }
     if profile:
         out["profile"] = profile
+    parity_file = os.path.join(os.path.dirname(__file__), "PARITY.json")
+    if os.path.exists(parity_file):
+        # Cross-framework mask Dice, produced by tools/parity_check.py
+        # (trains 128-res, exports to torch, compares both impls' masks).
+        with open(parity_file) as f:
+            out["parity"] = json.load(f)
     print(json.dumps(out))
 
 

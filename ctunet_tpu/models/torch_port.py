@@ -297,3 +297,80 @@ def port_state_dict(
 def load_torch_checkpoint(path: str, model_class: str) -> Dict[str, Any]:
     """One-shot: read a reference ``.pt`` file and port it."""
     return port_state_dict(load_state_dict(path), model_class)
+
+
+# ---------------------------------------------------------------------------
+# Export (flax variables -> reference torch state_dict layout)
+# ---------------------------------------------------------------------------
+
+
+def _get(tree, path: Tuple[str, ...]):
+    node = tree
+    for p in path:
+        node = node[p]
+    return np.asarray(node, np.float32)
+
+
+def _export_conv_unit(sd, params, stats, prefix, conv_idx, tpath):
+    w = _get(params, prefix + ("conv", "kernel"))
+    sd[f"{tpath}.{conv_idx}.weight"] = np.ascontiguousarray(
+        np.transpose(w, (4, 3, 0, 1, 2))
+    )
+    try:
+        sd[f"{tpath}.{conv_idx}.bias"] = _get(params, prefix + ("conv", "bias"))
+    except KeyError:
+        pass
+    bn = conv_idx + 1
+    sd[f"{tpath}.{bn}.weight"] = _get(params, prefix + ("bn", "scale"))
+    sd[f"{tpath}.{bn}.bias"] = _get(params, prefix + ("bn", "bias"))
+    sd[f"{tpath}.{bn}.running_mean"] = _get(stats, prefix + ("bn", "mean"))
+    sd[f"{tpath}.{bn}.running_var"] = _get(stats, prefix + ("bn", "var"))
+    sd[f"{tpath}.{bn}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+
+def export_state_dict(
+    variables: Mapping[str, Any], model_class: str
+) -> Dict[str, np.ndarray]:
+    """Convert flax ``{'params','batch_stats'}`` to the reference torch
+    state_dict layout (inverse of :func:`port_state_dict`).
+
+    The generic family's dead center-block weights (quirk Q1) are NOT
+    emitted — merge over a freshly constructed reference model's state_dict
+    (its ``cblock.*`` entries are dead in the reference data path,
+    ``models.py:238-241``).
+    """
+    if model_class in _LEGACY:
+        raise NotImplementedError(
+            "legacy export not implemented (port direction only)"
+        )
+    if model_class not in _N_BLOCKS:
+        raise KeyError(f"No torch export mapping for model '{model_class}'")
+    n_blocks = _N_BLOCKS[model_class]
+    params = variables["params"]["unet"]
+    stats = variables["batch_stats"]["unet"]
+    sd: Dict[str, np.ndarray] = {}
+
+    for i in range(n_blocks):
+        for j, conv_idx in enumerate((0, 3)):
+            _export_conv_unit(
+                sd, params, stats, (f"d{i}", f"unit{j}"), conv_idx,
+                f"d_blocks.{i}.block",
+            )
+    for j in range(n_blocks):
+        tpath = f"u_blocks.{j}.block"
+        w = _get(params, (f"u{j}", "upconv", "kernel"))
+        # flax transpose_kernel layout (k,k,k,O,I) -> torch convT (I,O,k,k,k)
+        sd[f"{tpath}.0.weight"] = np.ascontiguousarray(
+            np.transpose(w, (4, 3, 0, 1, 2))
+        )
+        sd[f"{tpath}.0.bias"] = _get(params, (f"u{j}", "upconv", "bias"))
+        for k, conv_idx in enumerate((1, 4)):
+            _export_conv_unit(
+                sd, params, stats, (f"u{j}", f"unit{k}"), conv_idx, tpath
+            )
+    w = _get(params, ("last_conv", "kernel"))
+    sd["last_conv.weight"] = np.ascontiguousarray(
+        np.transpose(w, (4, 3, 0, 1, 2))
+    )
+    sd["last_conv.bias"] = _get(params, ("last_conv", "bias"))
+    return sd

@@ -106,7 +106,11 @@ class PackedConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from ..ops.packed_conv import packed_conv3d
+        from ..ops.packed_conv import (
+            conv3d_pallas,
+            get_conv_impl,
+            packed_conv3d,
+        )
 
         cin = x.shape[-1]
         kernel = self.param(
@@ -117,7 +121,10 @@ class PackedConv(nn.Module):
         )
         batched = x.ndim == 5
         xb = x if batched else x[None]
-        y = packed_conv3d(xb.astype(self.dtype), kernel.astype(self.dtype))
+        conv = (
+            conv3d_pallas if get_conv_impl() == "pallas" else packed_conv3d
+        )
+        y = conv(xb.astype(self.dtype), kernel.astype(self.dtype))
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,),
@@ -324,9 +331,54 @@ class CenterBlock(nn.Module):
         return h.reshape(shape)
 
 
+class _SplitConv1x1(nn.Module):
+    """1x1x1 conv over an IMPLICIT channel concat of two tensors.
+
+    Parameter structure is identical to ``nn.Conv(features, (1,1,1))`` over
+    the materialized concat (kernel (1,1,1,Ca+Cb,F) + bias), so checkpoints
+    and torch ports are unaffected; the concat itself never exists.
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, a, b):
+        ca, cb = a.shape[-1], b.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1, 1, 1, ca + cb, self.features), self.param_dtype,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+        )
+        k = kernel[0, 0, 0].astype(self.dtype)
+        return (
+            a.astype(self.dtype) @ k[:ca]
+            + b.astype(self.dtype) @ k[ca:]
+            + bias.astype(self.dtype)
+        )
+
+
 def _maxpool(x):
-    """MaxPool3d(kernel=2, stride=2) (``models.py:190-191``)."""
-    return nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2), padding="VALID")
+    """MaxPool3d(kernel=2, stride=2) (``models.py:190-191``).
+
+    Formulated as reshape+max rather than ``nn.max_pool``: the windowed
+    reduce's backward is a ``select_and_scatter`` whose operands XLA lays
+    out with a 36.6x lane-padding expansion on thin channels — two 9.9 GB
+    temps at 224x304x304x7, the sole reason the reference's full-res
+    training config could not compile on a 16 GB chip. The reshape form's
+    backward is an elementwise equality mask. (Tie gradients split evenly
+    across tied window elements instead of torch's first-element routing —
+    an inconsequential training-dynamics delta, documented here.)
+    """
+    b, d, h, w, c = x.shape
+    if d % 2 or h % 2 or w % 2:  # odd sizes: floor-crop like VALID pooling
+        x = x[:, : d - d % 2, : h - h % 2, : w - w % 2, :]
+        b, d, h, w, c = x.shape
+    x = x.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, c)
+    return x.max(axis=(2, 4, 6))
 
 
 class UNet(nn.Module):
@@ -399,6 +451,7 @@ class UNet(nn.Module):
 
         # --- decoder ---------------------------------------------------
         u = h
+        last_pair = None
         for idx in range(self.n_blocks):
             i = self.n_blocks - 1 - idx  # ref loop: i = n_blocks-1 .. 0
             c2 = self.i_size * (2 ** i)
@@ -417,16 +470,31 @@ class UNet(nn.Module):
             ubl = blk(u, train)
             if self.use_skip_connections:
                 if self.cat:
-                    u = jnp.concatenate([ubl, d[i]], axis=-1)
+                    if idx == self.n_blocks - 1:
+                        # Final full-resolution skip concat is never
+                        # materialized: the 1x1 head conv is weight-split
+                        # over the pair instead. XLA saved this concat's
+                        # backward residual in a (batch, channel)-tiled
+                        # layout with an 18x padding blowup (9.9 GB at
+                        # 224x304x304x14), which OOMed full-res training.
+                        last_pair = (ubl, d[i])
+                        u = None
+                    else:
+                        u = jnp.concatenate([ubl, d[i]], axis=-1)
                 else:
                     u = ubl + d[i]
             else:
                 u = ubl
 
-        lc = nn.Conv(
-            self.out_channels, (1, 1, 1), use_bias=True,
-            name="last_conv", **common,
-        )(u)
+        if last_pair is not None:
+            lc = _SplitConv1x1(
+                self.out_channels, name="last_conv", **common
+            )(*last_pair)
+        else:
+            lc = nn.Conv(
+                self.out_channels, (1, 1, 1), use_bias=True,
+                name="last_conv", **common,
+            )(u)
 
         out = jax.nn.softmax(lc, axis=-1) if self.apply_softmax else lc
         out = jax.nn.sigmoid(out) if self.apply_sigmoid else out

@@ -76,12 +76,22 @@ class UNet4b1i3o(nn.Module):
 
 def _double_out_head(backg_flap_fullsk):
     """Split the 3-channel output into the two 2-channel encodings
-    (``models.py:317-330``): (full skull, flap)."""
-    backg = backg_flap_fullsk[..., 0:1]
-    flap = backg_flap_fullsk[..., 1:2]
-    fullsk = backg_flap_fullsk[..., 2:3]
-    encoded_full_skull = jnp.concatenate([backg, flap + fullsk], axis=-1)
-    encoded_flap = jnp.concatenate([1.0 - flap, flap], axis=-1)
+    (``models.py:317-330``): (full skull, flap).
+
+    Expressed as two constant 3x2 channel matmuls rather than channel
+    slices + concats: slice/concat over a size-3 minor dim at full volume
+    resolution made XLA save backward residuals in a (batch, channel)-tiled
+    layout with an 85x padding expansion — two 9.9 GB temps that alone
+    OOMed the reference's full-res training config. The matmul form keeps
+    standard layouts (and is algebraically identical):
+      full = out @ [[1,0],[0,1],[0,1]];  flap = out @ [[0,0],[-1,1],[0,0]] + [1,0]
+    """
+    dt = backg_flap_fullsk.dtype
+    m_full = jnp.asarray([[1.0, 0.0], [0.0, 1.0], [0.0, 1.0]], dt)
+    m_flap = jnp.asarray([[0.0, 0.0], [-1.0, 1.0], [0.0, 0.0]], dt)
+    b_flap = jnp.asarray([1.0, 0.0], dt)
+    encoded_full_skull = backg_flap_fullsk @ m_full
+    encoded_flap = backg_flap_fullsk @ m_flap + b_flap
     return encoded_full_skull, encoded_flap
 
 

@@ -73,6 +73,130 @@ def choose_train_pack(ww: int, cin: int, k: int = 3, target: int = 128,
     return cands[-1] if cands else 1
 
 
+# ---------------------------------------------------------------------------
+# Pallas-forward training conv (custom VJP)
+#
+# The fused Pallas kernel serves the TRAINING path too: forward and
+# input-gradient are the packed-tap kernel (a transposed conv with kernel
+# size 3 / stride 1 is a conv with spatially-flipped, channel-swapped
+# weights), the weight-gradient is 27 tap-shifted einsums whose contraction
+# (all voxels) is already MXU-shaped in XLA. Selected per trace via
+# ``set_conv_impl`` (trainer config key ``conv_impl``).
+# ---------------------------------------------------------------------------
+
+_CONV_IMPL = "xla"
+
+
+def set_conv_impl(impl: str) -> None:
+    """Select the training-conv implementation at trace time:
+    'xla' (packed XLA conv, default) or 'pallas' (fused kernel fwd/dgrad
+    with a hand VJP). Retracing (e.g. rebuilding the train step) applies."""
+    global _CONV_IMPL
+    assert impl in ("xla", "pallas"), impl
+    _CONV_IMPL = impl
+
+
+def get_conv_impl() -> str:
+    return _CONV_IMPL
+
+
+def _pallas_same_conv(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """(B,D,H,W,Ci) SAME stride-1 conv via the Pallas packed-tap kernel.
+
+    The packed weights are computed in-graph from the raw kernel (pure
+    linear transform) then padded to the kernel's 128-lane layout.
+    """
+    from . import pallas  # noqa: F401
+    from .pallas import conv3d as pc
+
+    b, d, hh, ww, cin = x.shape
+    k = kernel.shape[0]
+    cout = kernel.shape[-1]
+    pack = choose_train_pack(ww, cin, k=k)
+
+    def xla():
+        return packed_conv3d(x, kernel)
+
+    if pack <= 1:
+        return xla()
+    pw = pack_weights_jax(kernel, pack).astype(x.dtype)
+    cin_p = -(-pack * cin // 128) * 128
+    cout_p = -(-pack * cout // 128) * 128
+    pw = jnp.pad(
+        pw.reshape(k * k * 3, pack * cin, pack * cout),
+        ((0, 0), (0, cin_p - pack * cin), (0, cout_p - pack * cout)),
+    )
+    pb = jnp.zeros((1, cout_p), jnp.float32)
+
+    interpret = jax.default_backend() == "cpu"
+
+    def one(v):
+        out = pc.conv3d_fused(
+            v.reshape(d, hh, ww // pack, pack * cin), pw, pb, pack, k=k,
+            relu=False, out_dtype=x.dtype, packed_in=True,
+            interpret=interpret,
+        )
+        return pc.unpack_output(out, pack, cout)
+
+    try:
+        return jax.vmap(one)(x) if b > 1 else one(x[0])[None]
+    except (ValueError, AssertionError):
+        # shape too small/odd for the kernel's tiling -> XLA packed conv
+        # (cheap at such sizes, and keeps fwd/bwd consistent).
+        return xla()
+
+
+def _flip_swap(kernel: jax.Array) -> jax.Array:
+    """w(k,k,k,Ci,Co) -> spatially flipped, channels swapped (for dgrad)."""
+    return jnp.flip(kernel, (0, 1, 2)).swapaxes(3, 4)
+
+
+@jax.custom_vjp
+def conv3d_pallas(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """SAME stride-1 3D conv, Pallas forward + hand VJP (training path)."""
+    return _pallas_same_conv(x, kernel)
+
+
+def _conv3d_pallas_fwd(x, kernel):
+    return _pallas_same_conv(x, kernel), (x, kernel)
+
+
+def _conv3d_pallas_bwd(res, g):
+    x, kernel = res
+    k = kernel.shape[0]
+    half = k // 2
+    # dL/dx: SAME conv of g with the flipped, channel-swapped kernel — the
+    # same Pallas kernel, packed on g's channel count.
+    dx = _pallas_same_conv(g, _flip_swap(kernel).astype(g.dtype))
+    # dL/dw[a,b,c,i,o] = sum_v x[v + (a,b,c) - half, i] * g[v, o]: 27 tap-
+    # shifted whole-volume contractions (each one MXU-shaped in XLA).
+    xp = jnp.pad(
+        x, ((0, 0),) + ((half, half),) * 3 + ((0, 0),)
+    )
+    b, d, hh, ww, _ = x.shape
+    taps = []
+    for a in range(k):
+        for bb in range(k):
+            rows = []
+            for c in range(k):
+                xs = jax.lax.dynamic_slice(
+                    xp, (0, a, bb, c, 0), (b, d, hh, ww, x.shape[-1])
+                )
+                rows.append(
+                    jnp.einsum(
+                        "bdhwi,bdhwo->io",
+                        xs.astype(jnp.float32),
+                        g.astype(jnp.float32),
+                    )
+                )
+            taps.append(jnp.stack(rows))
+    dw = jnp.stack(taps).reshape(kernel.shape).astype(kernel.dtype)
+    return dx.astype(x.dtype), dw
+
+
+conv3d_pallas.defvjp(_conv3d_pallas_fwd, _conv3d_pallas_bwd)
+
+
 def packed_conv3d(
     x: jax.Array,
     kernel: jax.Array,

@@ -354,6 +354,9 @@ class Model:
 
     def train(self) -> None:
         """Training loop (ref ``Model.train``, ``Model.py:226-264``)."""
+        from .ops import packed_conv
+
+        packed_conv.set_conv_impl(self.params.get("conv_impl") or "xla")
         self.initialize_models()
         optimizer = steps.make_optimizer(self.params)
         variables = self._variables
@@ -589,10 +592,9 @@ class Model:
             "batch_stats": self._variables.get("batch_stats", {}),
         }
 
-    def _make_whole_volume_predict(self, model, variables, compute_dtype,
-                                   atlas=None):
-        """Whole-volume predict: fused Pallas engine on TPU when supported,
-        plain jitted model.apply otherwise."""
+    def _maybe_engine(self, variables, compute_dtype):
+        """Build the fused Pallas engine predict when enabled/supported
+        (TPU serving path); None otherwise."""
         from . import engine
 
         backend = self.devices[0].platform if self.devices else ""
@@ -601,30 +603,39 @@ class Model:
             and engine.supports(self.params["model_class"])
             and backend not in ("cpu",)
         )
-        if use_engine:
-            try:
-                eng = engine.build_predict(
-                    self.params["model_class"], variables,
-                    compute_dtype=compute_dtype,
-                )
+        if not use_engine:
+            return None
+        try:
+            return engine.build_predict(
+                self.params["model_class"], variables,
+                compute_dtype=compute_dtype,
+            )
+        except Exception as e:
+            print(
+                f"engine unavailable ({type(e).__name__}: {e}); "
+                "falling back to XLA forward."
+            )
+            return None
 
-                def predict(variables_unused, images):
-                    chans = [images.astype(compute_dtype)]
-                    if atlas is not None:
-                        chans.append(
-                            jnp.broadcast_to(
-                                jnp.asarray(atlas, compute_dtype)[None],
-                                images.shape,
-                            )
+    def _make_whole_volume_predict(self, model, variables, compute_dtype,
+                                   atlas=None):
+        """Whole-volume predict: fused Pallas engine on TPU when supported,
+        plain jitted model.apply otherwise."""
+        eng = self._maybe_engine(variables, compute_dtype)
+        if eng is not None:
+
+            def predict(variables_unused, images):
+                chans = [images.astype(compute_dtype)]
+                if atlas is not None:
+                    chans.append(
+                        jnp.broadcast_to(
+                            jnp.asarray(atlas, compute_dtype)[None],
+                            images.shape,
                         )
-                    return eng(jnp.stack(chans, axis=-1))
+                    )
+                return eng(jnp.stack(chans, axis=-1))
 
-                return predict
-            except Exception as e:
-                print(
-                    f"engine unavailable ({type(e).__name__}: {e}); "
-                    "falling back to XLA forward."
-                )
+            return predict
         return steps.make_predict_fn(
             model, atlas=atlas, compute_dtype=compute_dtype
         )
@@ -653,12 +664,17 @@ class Model:
         if self.params.get("patch_inference"):
             from .ops.sliding_window import make_sliding_window_fn
 
+            # Serve each patch through the fused Pallas engine when
+            # available (the north-star serving mode runs the fast path).
+            eng = self._maybe_engine(variables, compute_dtype)
+            apply_fn = None if eng is None else (lambda v, x: eng(x))
             predict = make_sliding_window_fn(
                 model,
                 patch_size=int(self.params.get("patch_size") or 128),
                 overlap=float(self.params.get("patch_overlap") or 0.5),
                 atlas=atlas_p,
                 compute_dtype=compute_dtype,
+                apply_fn=apply_fn,
             )
         else:
             predict = self._make_whole_volume_predict(

@@ -95,3 +95,59 @@ def test_pack1_falls_back(rng):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(_ref_conv(x, w)), atol=2e-4, rtol=1e-3
     )
+
+
+def test_pallas_vjp_matches_xla(rng):
+    """conv3d_pallas (Pallas fwd + hand VJP) vs the XLA conv: forward and
+    both gradients agree (VERDICT round-1 item 4 gradient gate)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ctunet_tpu.ops.packed_conv import conv3d_pallas
+
+    x = jnp.asarray(rng.random((1, 6, 8, 32, 3)).astype(np.float32))
+    w = jnp.asarray((rng.random((3, 3, 3, 3, 5)) - 0.5).astype(np.float32))
+
+    def ref_fn(x, w):
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        return jnp.sum(jnp.sin(y))
+
+    def pallas_fn(x, w):
+        return jnp.sum(jnp.sin(conv3d_pallas(x, w)))
+
+    ref_val, (ref_dx, ref_dw) = jax.value_and_grad(ref_fn, (0, 1))(x, w)
+    got_val, (got_dx, got_dw) = jax.value_and_grad(pallas_fn, (0, 1))(x, w)
+    np.testing.assert_allclose(float(got_val), float(ref_val), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(got_dx), np.asarray(ref_dx), atol=1e-3, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_dw), np.asarray(ref_dw), atol=1e-3, rtol=1e-3
+    )
+
+
+def test_conv_impl_switch(rng):
+    """set_conv_impl routes PackedConv through the Pallas VJP conv."""
+    import jax
+    import jax.numpy as jnp
+
+    from ctunet_tpu.models import build_model
+    from ctunet_tpu.ops import packed_conv
+
+    model = build_model("UNetDO", compute_dtype="float32",
+                        use_checkpoint=False)
+    x = jnp.asarray(rng.random((1, 16, 16, 16, 1)).astype(np.float32))
+    vs = jax.jit(model.init, static_argnums=(2,))(jax.random.key(0), x, False)
+    want = model.apply(vs, x, False)
+    packed_conv.set_conv_impl("pallas")
+    try:
+        got = model.apply(vs, x, False)
+    finally:
+        packed_conv.set_conv_impl("xla")
+    for g, w in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), atol=5e-4, rtol=1e-3
+        )

@@ -99,3 +99,31 @@ def test_atlas_patches_follow_grid(rng):
     )
     out = predict({}, jnp.asarray(vol))
     np.testing.assert_allclose(np.asarray(out[0, ..., 0]), atlas, atol=1e-5)
+
+
+def test_apply_fn_override(rng):
+    """make_sliding_window_fn routes patches through a custom apply_fn
+    (the hook the trainer uses to serve patches via the fused engine)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ctunet_tpu.ops.sliding_window import make_sliding_window_fn
+
+    calls = {"n": 0}
+
+    def apply_fn(variables, x):
+        calls["n"] += 1  # traced once; counts traces, not patches
+        # constant 2-channel "prediction": class 1 wins everywhere
+        return jnp.concatenate(
+            [jnp.zeros_like(x[..., :1]), jnp.ones_like(x[..., :1])], -1
+        )
+
+    predict = make_sliding_window_fn(
+        None, patch_size=8, overlap=0.5, compute_dtype=jnp.float32,
+        apply_fn=apply_fn,
+    )
+    vols = jnp.asarray(rng.random((1, 16, 16, 16)).astype(np.float32))
+    out = predict({}, vols)
+    assert calls["n"] >= 1
+    assert out.shape == (1, 16, 16, 16, 2)
+    np.testing.assert_allclose(np.asarray(out[..., 1]), 1.0, atol=1e-6)

@@ -115,3 +115,51 @@ def test_dataparallel_prefix_stripped(ref_models):
     sd = {f"module.{k}": v.numpy() for k, v in tm.state_dict().items()}
     variables = port_state_dict(sd, "UNetSP")
     assert "unet" in variables["params"]
+
+
+def test_export_roundtrip_and_forward(ref_models):
+    """Export direction: flax variables -> torch state_dict. The exported
+    weights must round-trip through the port unchanged AND drive the
+    reference torch model to the same outputs as the flax model."""
+    import torch
+
+    from ctunet_tpu.models.torch_port import export_state_dict
+
+    model = build_model("UNetSP", compute_dtype="float32",
+                        use_checkpoint=False)
+    x = jnp.zeros((1, 16, 16, 16, 2), jnp.float32)
+    vs = jax.jit(model.init, static_argnums=(2,))(jax.random.key(5), x, False)
+    # nontrivial BN stats
+    vs = {
+        "params": vs["params"],
+        "batch_stats": jax.tree.map(
+            lambda s: s * 1.1 + 0.02, vs["batch_stats"]
+        ),
+    }
+    sd = export_state_dict(vs, "UNetSP")
+
+    # round trip: port back and compare trees leaf-by-leaf
+    back = port_state_dict(sd, "UNetSP")
+    for (pa, va), (pb, vb) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(vs["params"]),
+               key=lambda t: str(t[0])),
+        sorted(jax.tree_util.tree_leaves_with_path(back["params"]),
+               key=lambda t: str(t[0])),
+    ):
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb), atol=0)
+
+    # forward parity: merge over a fresh reference model (dead cblock kept)
+    tm = ref_models.UNetSP()
+    full = tm.state_dict()
+    full.update({k: torch.tensor(v) for k, v in sd.items()})
+    tm.load_state_dict(full)
+    tm.eval()
+
+    rng = np.random.default_rng(7)
+    xin = rng.random((1, 16, 16, 16, 2)).astype(np.float32)
+    want = model.apply(vs, jnp.asarray(xin), False)
+    with torch.no_grad():
+        got = tm(torch.tensor(xin).permute(0, 4, 1, 2, 3))
+    for g, w in zip(got, want):
+        g = g.numpy().transpose(0, 2, 3, 4, 1)
+        np.testing.assert_allclose(g, np.asarray(w), atol=2e-4, rtol=1e-3)

@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Trained-checkpoint cross-framework parity (VERDICT round-1 item 5).
+
+Trains UNetSP at the reference's 128-res configuration on synthetic skulls
+(on-device synthesis, Dice+CE, Adam — the ``FlapRecSP2O_128.ini`` recipe),
+exports the trained variables to the reference's torch state_dict layout,
+runs BOTH frameworks on the same held-out broken skulls, and reports the
+Dice overlap between the two implementations' output masks.
+
+Writes ``PARITY.json`` at the repo root; ``bench.py`` surfaces it as the
+``parity`` field. Target: >= 0.999 mask Dice (BASELINE.json metric).
+
+Usage: PYTHONPATH=. python tools/parity_check.py [--steps N]
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SHAPE = (64, 128, 128)
+N_TEST = 5
+
+
+def train(steps_n: int):
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ctunet_tpu import problem, steps
+    from ctunet_tpu.data.synthetic import spherical_shell
+    from ctunet_tpu.models import build_model
+
+    model = build_model("UNetSP", compute_dtype="bfloat16")
+    x = jnp.zeros((1, *SHAPE, 2), jnp.bfloat16)
+    variables = jax.jit(model.init, static_argnums=(2,))(
+        jax.random.key(0), x, False
+    )
+    optimizer = steps.make_optimizer(
+        {"optimizer": "adam", "learning_rate": 1e-3, "weight_decay": 0.0}
+    )
+    state = steps.TrainState(
+        params=variables["params"], batch_stats=variables["batch_stats"],
+        opt_state=optimizer.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    handler = problem.FlapRecWithShapePriorDoubleOut()
+    atlas = spherical_shell(SHAPE, radius_frac=0.42).astype("float32")
+    train_step = steps.make_train_step(
+        model, handler, optimizer,
+        {"ce_lambda": 1.0, "dice_lambda": 1.0, "save_dice_plots": False},
+        atlas=atlas, compute_dtype=jnp.bfloat16,
+    )
+    vols = np.stack([
+        spherical_shell(SHAPE, seed=100 + i).astype("float32")
+        for i in range(8)
+    ])
+    t0 = time.perf_counter()
+    losses = []
+    for i in range(steps_n):
+        batch = {"image": jnp.asarray(vols[i % 8][None])}
+        state, terms = train_step(state, batch, jax.random.key(i))
+        losses.append(terms["epoch_loss"])
+        if (i + 1) % 200 == 0:
+            print(f"  step {i+1}/{steps_n} loss={float(losses[-1]):.4f}",
+                  flush=True)
+    print(f"trained {steps_n} steps in {time.perf_counter()-t0:.0f}s; "
+          f"loss {float(losses[0]):.3f} -> {float(losses[-1]):.3f}")
+    return model, {"params": state.params, "batch_stats": state.batch_stats}, atlas
+
+
+def main():
+    steps_n = 3000
+    if "--steps" in sys.argv:
+        steps_n = int(sys.argv[sys.argv.index("--steps") + 1])
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ctunet_tpu import engine
+    from ctunet_tpu.data.synthetic import spherical_shell
+    from ctunet_tpu.models.torch_port import export_state_dict
+    from ctunet_tpu.ops import synthesis
+
+    model, variables, atlas = train(steps_n)
+
+    # Held-out test inputs: broken skulls (fixed-seed virtual craniectomy).
+    tests = []
+    for i in range(N_TEST):
+        full = spherical_shell(SHAPE, seed=900 + i).astype("float32")
+        broken, _ = synthesis.skull_random_hole(
+            jax.random.key(5000 + i), jnp.asarray(full)
+        )
+        tests.append(np.asarray(broken, np.float32))
+    tests = np.stack(tests)
+    atlas_b = np.broadcast_to(atlas, tests.shape)
+    x_all = np.stack([tests, atlas_b], -1)  # (N, D, H, W, 2)
+
+    # --- this framework: fused engine (bf16, the serving path) ---
+    predict = engine.build_predict("UNetSP", variables)
+    outs = predict(jnp.asarray(x_all, jnp.bfloat16))
+    ours_sk = np.argmax(np.asarray(outs[0], np.float32), -1)
+    ours_fl = np.argmax(np.asarray(outs[1], np.float32), -1)
+    # and a true-f32 forward (f32-built model, same params) for a
+    # dtype-insensitivity reference against the torch f32 run
+    from ctunet_tpu.models import build_model
+
+    model32 = build_model("UNetSP", compute_dtype="float32")
+    fwd = jax.jit(lambda v, x: model32.apply(v, x, False))
+    outs32 = fwd(variables, jnp.asarray(x_all, jnp.float32))
+    ours32_sk = np.argmax(np.asarray(outs32[0], np.float32), -1)
+    ours32_fl = np.argmax(np.asarray(outs32[1], np.float32), -1)
+
+    # --- reference implementation (its own torch code, CPU) ---
+    import importlib.util
+
+    import torch
+
+    spec = importlib.util.spec_from_file_location(
+        "refmodels", "/root/reference/ctunet/pytorch/models.py"
+    )
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+    tm = ref.UNetSP()
+    full_sd = tm.state_dict()
+    full_sd.update({
+        k: torch.tensor(v) for k, v in
+        export_state_dict(variables, "UNetSP").items()
+    })
+    tm.load_state_dict(full_sd)
+    tm.eval()
+    ref_sk, ref_fl = [], []
+    with torch.no_grad():
+        for i in range(N_TEST):
+            xt = torch.tensor(x_all[i][None]).permute(0, 4, 1, 2, 3)
+            o_sk, o_fl = tm(xt)
+            ref_sk.append(o_sk.numpy().argmax(1)[0])
+            ref_fl.append(o_fl.numpy().argmax(1)[0])
+            print(f"  torch reference volume {i+1}/{N_TEST} done", flush=True)
+    ref_sk = np.stack(ref_sk)
+    ref_fl = np.stack(ref_fl)
+
+    def dice(a, b):
+        inter = float(np.sum((a > 0) & (b > 0)))
+        sa, sb = float(np.sum(a > 0)), float(np.sum(b > 0))
+        return 2.0 * inter / (sa + sb) if (sa + sb) else 1.0
+
+    report = {
+        "metric": "cross-framework mask Dice on 5 synthetic skulls "
+                  "(trained 128-res UNetSP; this impl vs reference torch "
+                  "impl running the exported checkpoint)",
+        "train_steps": steps_n,
+        "dice_sk_engine_bf16": round(dice(ours_sk, ref_sk), 6),
+        "dice_fl_engine_bf16": round(dice(ours_fl, ref_fl), 6),
+        "dice_sk_xla_f32": round(dice(ours32_sk, ref_sk), 6),
+        "dice_fl_xla_f32": round(dice(ours32_fl, ref_fl), 6),
+        "foreground_voxels_sk": int((ref_sk > 0).sum()),
+        "foreground_voxels_fl": int((ref_fl > 0).sum()),
+    }
+    with open(os.path.join(REPO, "PARITY.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report, indent=1))
+
+
+if __name__ == "__main__":
+    main()
