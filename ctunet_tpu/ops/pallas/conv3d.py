@@ -433,12 +433,17 @@ def conv3d_chain(
     h_tile: Optional[int] = None,
     interpret: bool = False,
     out_dtype=jnp.bfloat16,
+    ring: bool = True,
 ) -> jax.Array:
     """Fused Conv3D(k=3, SAME)+bias+ReLU, chained-flat in AND out.
 
     :param x: (D+2, (H+2)*wpad, Cin_p) chained layout (:func:`to_chain`).
     :param packed_w: (27, Cin_p, Cout_p) from :func:`pack_weights`.
     :param packed_b: (1, Cout_p) from :func:`pack_bias`.
+    :param ring: z-innermost grid with a 4-slot plane ring cache (each input
+        plane window DMA'd once, prefetched a step ahead) and double-
+        buffered output DMAs; ``False`` = the simpler 3-plane-slab form
+        (re-reads input 3x in z, serial DMAs).
     :returns: (D+2, (H+2)*wpad, Cout_p) chained layout, borders zeroed.
     """
     dp2, rows, cin_p = x.shape
@@ -449,7 +454,7 @@ def conv3d_chain(
     cout_p = packed_w.shape[2]
 
     if h_tile is None:
-        h_tile = _pick_chain_h_tile(hh, wpad, cin_p, cout_p)
+        h_tile = _pick_chain_h_tile(hh, wpad, cin_p, cout_p, ring=ring)
     assert hh % h_tile == 0
     ht = h_tile
     n_h = hh // ht
@@ -461,21 +466,26 @@ def conv3d_chain(
         (dz, dy * wpad + t + 7)
         for dz in range(3) for dy in range(3) for t in range(3)
     )
-    kern = functools.partial(
-        _chain_kernel, taps=taps, rout=rout, dma_rows=dma_rows, relu=relu,
+    common = dict(
+        taps=taps, rout=rout, dma_rows=dma_rows, relu=relu,
         wp=wp, wpad=wpad, ht=ht, n_h=n_h, hh=hh, d=d,
     )
-    return pl.pallas_call(
-        kern,
-        grid=(d, n_h),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((dp2, rows, cout_p), out_dtype),
-        scratch_shapes=[
+    if ring:
+        kern = functools.partial(_chain_kernel_ring, **common)
+        grid = (n_h, d)
+        scratch = [
+            pltpu.VMEM((4, n_slab, cin_p), x.dtype),
+            pltpu.VMEM((2, rout, cout_p), jnp.float32),
+            pltpu.VMEM((2, rout, cout_p), out_dtype),
+            pltpu.VMEM((max(rout, 2 * wpad), cout_p), out_dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ]
+    else:
+        kern = functools.partial(_chain_kernel, **common)
+        grid = (d, n_h)
+        scratch = [
             pltpu.VMEM((3, n_slab, cin_p), x.dtype),
             pltpu.VMEM((2, rout, cout_p), jnp.float32),
             pltpu.VMEM((rout, cout_p), out_dtype),
@@ -483,25 +493,155 @@ def conv3d_chain(
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
+        ]
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((dp2, rows, cout_p), out_dtype),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(x, packed_w.astype(x.dtype), packed_b)
 
 
 def _pick_chain_h_tile(hh: int, wpad: int, cin_p: int, cout_p: int,
-                       vmem_budget: int = 12 * 2**20) -> int:
+                       vmem_budget: int = 12 * 2**20,
+                       ring: bool = True) -> int:
     """Largest divisor of H whose scratch set fits the VMEM budget."""
+    n_slab = 4 if ring else 3
+    n_out = 2 if ring else 1
     for ht in sorted((t for t in range(1, hh + 1) if hh % t == 0),
                      reverse=True):
         rout = ht * wpad
         need = (
-            3 * ((ht + 2) * wpad + 16) * cin_p * 2   # slab
-            + 2 * rout * cout_p * 4                   # f32 acc x2
-            + 2 * rout * cout_p * 2                   # outbuf + zbuf
+            n_slab * ((ht + 2) * wpad + 16) * cin_p * 2   # slab ring
+            + 2 * rout * cout_p * 4                        # f32 acc x2
+            + (n_out + 1) * rout * cout_p * 2              # outbufs + zbuf
         )
         if need <= vmem_budget:
             return ht
     raise ValueError(f"no chain H tile fits: H={hh}, wpad={wpad}")
+
+
+def _chain_kernel_ring(x_hbm, w_ref, b_ref, out_hbm, slab, acc, outbuf, zbuf,
+                       sem_in, sem_out, sem_z, *, taps, rout, dma_rows, relu,
+                       wp, wpad, ht, n_h, hh, d):
+    """Ring-cached, double-buffered chain conv (grid (n_h, d), z innermost).
+
+    A 4-slot plane ring means each input plane's row window is DMA'd ONCE
+    per h-tile (the 3-plane slab form re-read everything 3x), prefetched one
+    z ahead of use; output DMAs double-buffer against compute.
+    """
+    h = pl.program_id(0)
+    z = pl.program_id(1)
+    h0 = h * ht
+    row_src = h0 * wpad
+
+    @pl.when(jnp.logical_and(h == 0, z == 0))
+    def _init():
+        slab[:, 0:8, :] = jnp.zeros_like(slab[:, 0:8, :])
+        zbuf[:] = jnp.zeros_like(zbuf)
+
+    def _in_copy(q):
+        return pltpu.make_async_copy(
+            x_hbm.at[q, pl.ds(row_src, dma_rows)],
+            slab.at[q % 4, pl.ds(8, dma_rows)],
+            sem_in.at[q % 4],
+        )
+
+    @pl.when(z == 0)
+    def _prefill():
+        _in_copy(0).start()
+        _in_copy(1).start()
+        _in_copy(2).start()
+        _in_copy(0).wait()
+        _in_copy(1).wait()
+
+    @pl.when(z + 3 <= d + 1)
+    def _prefetch():
+        _in_copy(z + 3).start()
+
+    # Border upkeep while input streams (same designated iterations as the
+    # slab kernel; h outer / z inner covers the same (z, h) pairs).
+    def _zero(plane, row0, nrows):
+        cp = pltpu.make_async_copy(
+            zbuf.at[pl.ds(0, nrows)],
+            out_hbm.at[plane, pl.ds(row0, nrows)],
+            sem_z,
+        )
+        cp.start()
+        cp.wait()
+
+    @pl.when(h == 0)
+    def _top():
+        _zero(z + 1, 0, wpad)
+
+    @pl.when(h == n_h - 1)
+    def _bottom():
+        _zero(z + 1, (hh + 1) * wpad, wpad)
+
+    @pl.when(z == 0)
+    def _plane0():
+        _zero(0, h * rout, rout)
+
+    @pl.when(jnp.logical_and(z == 0, h == 0))
+    def _plane0_tail():
+        _zero(0, hh * wpad, 2 * wpad)
+
+    @pl.when(z == d - 1)
+    def _planeD():
+        _zero(d + 1, h * rout, rout)
+
+    @pl.when(jnp.logical_and(z == d - 1, h == 0))
+    def _planeD_tail():
+        _zero(d + 1, hh * wpad, 2 * wpad)
+
+    _in_copy(z + 2).wait()
+
+    par = (h * d + z) % 2  # global iteration parity (robust to odd/1 d)
+
+    def _out_copy(p):
+        return pltpu.make_async_copy(
+            outbuf.at[p],
+            out_hbm.at[z + 1, pl.ds((1 + h0) * wpad, rout)],
+            sem_out.at[p],
+        )
+
+    # Reclaim this parity's buffer (the DMA issued two z-steps ago; all out
+    # tiles have identical sizes, so the wait's byte count is exact).
+    @pl.when(h * d + z >= 2)
+    def _reclaim():
+        _out_copy(par).wait()
+
+    acc[0] = jnp.zeros_like(acc[0])
+    acc[1] = jnp.zeros_like(acc[1])
+    for i, (dz, off) in enumerate(taps):
+        xs = slab[(z + dz) % 4, pl.ds(off, rout), :]
+        dres = jax.lax.dot_general(
+            xs, w_ref[i], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc[i % 2] += dres
+    res = acc[0] + acc[1] + b_ref[0][None, :]
+    if relu:
+        res = jnp.maximum(res, 0.0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rout, 1), 0) % wpad
+    res = jnp.where(col < wp, res, 0.0)
+    outbuf[par] = res.astype(outbuf.dtype)
+    _out_copy(par).start()
+
+    @pl.when(jnp.logical_and(h == n_h - 1, z == d - 1))
+    def _drain():
+        _out_copy(par).wait()
+
+        @pl.when(n_h * d >= 2)
+        def _drain_other():
+            _out_copy(1 - par).wait()
 
 
 # ---------------------------------------------------------------------------

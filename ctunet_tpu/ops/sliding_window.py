@@ -91,7 +91,7 @@ def make_sliding_window_fn(
     )
 
     @partial(jax.jit, static_argnames=())
-    def predict(variables, images):
+    def _predict(variables, images, atlas_c):
         b, dz, dy, dx = images.shape
         starts = grid_starts((dz, dy, dx), patch, overlap)  # static
         n = starts.shape[0]
@@ -144,5 +144,11 @@ def make_sliding_window_fn(
 
         outs = [run_one(images[i]) for i in range(b)]
         return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+
+    def predict(variables, images):
+        # The atlas rides as a jit ARGUMENT: closed-over it would be inlined
+        # as an HLO constant (235 MB at 512-res — oversized the remote
+        # compile request).
+        return _predict(variables, images, atlas_c)
 
     return predict
