@@ -317,6 +317,51 @@ def build_predict(
             )
         return full, fl
 
+    # Constant head matrices in PACKED lane space (block-diag via kron):
+    # consuming the packed layout directly avoids the unpack slices + layout
+    # copies at full resolution (~5 ms/volume).
+    _head_mats: Dict[int, Any] = {}
+
+    def _get_head_mats(pa: int, ca: int):
+        if pa not in _head_mats:
+            eye = np.eye(pa, dtype=np.float32)
+            lk = _np(lc_k)[0, 0, 0]  # (ca+cb, 3)
+            m_a = np.kron(eye, lk[:ca])
+            m_b = np.kron(eye, lk[ca:])
+            bias3 = np.tile(_np(lc_b), pa)
+            m_full = np.kron(eye, np.asarray(
+                [[1.0, 0.0], [0.0, 1.0], [0.0, 1.0]], np.float32))
+            m_flap = np.kron(eye, np.asarray(
+                [[0.0, 0.0], [-1.0, 1.0], [0.0, 0.0]], np.float32))
+            b_flap = np.tile(np.asarray([1.0, 0.0], np.float32), pa)
+            _head_mats[pa] = tuple(
+                jnp.asarray(m) for m in
+                (m_a, m_b, bias3, m_full, m_flap, b_flap)
+            )
+        return _head_mats[pa]
+
+    def _head_packed(apk, bpk, pa: int, ca: int, hh: int, ww: int):
+        """Head math on std-PACKED operands (D, H, wp, pa*C): the channel
+        splits/concats become block-diagonal matmuls; the final unpack to
+        (D, H, W, 2) is a pure reshape."""
+        m_a, m_b, bias3, m_full, m_flap, b_flap = _get_head_mats(pa, ca)
+        dt = apk.dtype
+        lc = (
+            apk @ m_a.astype(dt) + bpk @ m_b.astype(dt) + bias3.astype(dt)
+        )
+        out = jax.nn.sigmoid(lc.astype(jnp.float32))
+        if head is None:
+            d_, h_, wp_ = out.shape[:3]
+            return out.astype(compute_dtype).reshape(d_, h_, ww, 3)
+        full = out @ m_full
+        fl = out @ m_flap + b_flap
+        d_, h_, wp_ = full.shape[:3]
+        full = full.reshape(d_, h_, ww, 2)
+        fl = fl.reshape(d_, h_, ww, 2)
+        if head == "double_softmax":
+            return jax.nn.softmax(full, -1), jax.nn.softmax(fl, -1)
+        return full.astype(compute_dtype), fl.astype(compute_dtype)
+
     def _upsample(idx, a, b):
         """ConvT(k2,s2) of cat(a, b) -> standard (2D, 2H, 2W, Co)."""
         ker, kb = up_kernels[idx]
@@ -418,14 +463,15 @@ def build_predict(
             a_cout = u_units[idx][1].cout
             b = sk
 
-        a = pc.unpack_output(
-            pc.from_chain(a_chain, dh, dwp, ap * a_cout), ap, a_cout
-        )
+        apk = pc.from_chain(a_chain, dh, dwp, ap * a_cout)
         bc, bp, bco, bdh, bdwp = b
-        b_std = pc.unpack_output(
-            pc.from_chain(bc, bdh, bdwp, bp * bco), bp, bco
+        bpk = pc.from_chain(bc, bdh, bdwp, bp * bco)
+        if bp == ap and (bdh, bdwp) == (dh, dwp):
+            return _head_packed(apk, bpk, ap, a_cout, dh, dwp * ap)
+        return _head(
+            pc.unpack_output(apk, ap, a_cout),
+            pc.unpack_output(bpk, bp, bco),
         )
-        return _head(a, b_std)
 
     @jax.jit
     def predict(images: jax.Array):

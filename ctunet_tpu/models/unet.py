@@ -361,6 +361,46 @@ class _SplitConv1x1(nn.Module):
         )
 
 
+def _maxpool2_fwd_value(x):
+    b, d, h, w, c = x.shape
+    x = x.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, c)
+    return x.max(axis=(2, 4, 6))
+
+
+def _repeat2(t):
+    """Nearest-neighbor 2x upsample of (B, D, H, W, C) via broadcasting."""
+    b, d, h, w, c = t.shape
+    t = jnp.broadcast_to(
+        t[:, :, None, :, None, :, None, :], (b, d, 2, h, 2, w, 2, c)
+    )
+    return t.reshape(b, 2 * d, 2 * h, 2 * w, c)
+
+
+@jax.custom_vjp
+def _maxpool2(x):
+    return _maxpool2_fwd_value(x)
+
+
+def _maxpool2_fwd(x):
+    y = _maxpool2_fwd_value(x)
+    return y, (x, y)
+
+
+def _maxpool2_bwd(res, g):
+    x, y = res
+    # Layout-friendly backward: compare against the 2x-upsampled max and
+    # route the (upsampled) gradient to matching elements. All tensors stay
+    # standard 5D channels-last — jnp.max's default VJP materialized 8D
+    # broadcast temps that XLA laid out at (2,128) tiles, costing ~97 ms of
+    # the full-res train step. Ties receive the gradient each (vs torch's
+    # first-element routing; at ReLU zeros the upstream grad dies anyway).
+    dx = jnp.where(x == _repeat2(y), _repeat2(g), 0).astype(x.dtype)
+    return (dx,)
+
+
+_maxpool2.defvjp(_maxpool2_fwd, _maxpool2_bwd)
+
+
 def _maxpool(x):
     """MaxPool3d(kernel=2, stride=2) (``models.py:190-191``).
 
@@ -368,17 +408,15 @@ def _maxpool(x):
     reduce's backward is a ``select_and_scatter`` whose operands XLA lays
     out with a 36.6x lane-padding expansion on thin channels — two 9.9 GB
     temps at 224x304x304x7, the sole reason the reference's full-res
-    training config could not compile on a 16 GB chip. The reshape form's
-    backward is an elementwise equality mask. (Tie gradients split evenly
-    across tied window elements instead of torch's first-element routing —
-    an inconsequential training-dynamics delta, documented here.)
+    training config could not compile on a 16 GB chip. A custom VJP keeps
+    the backward in plain 5D shapes (see ``_maxpool2_bwd``). Tie gradients
+    deviate from torch's first-element routing — an inconsequential
+    training-dynamics delta, documented here.
     """
     b, d, h, w, c = x.shape
     if d % 2 or h % 2 or w % 2:  # odd sizes: floor-crop like VALID pooling
         x = x[:, : d - d % 2, : h - h % 2, : w - w % 2, :]
-        b, d, h, w, c = x.shape
-    x = x.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, c)
-    return x.max(axis=(2, 4, 6))
+    return _maxpool2(x)
 
 
 class UNet(nn.Module):

@@ -149,3 +149,29 @@ def test_bf16_compute_dtype():
     assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(vs["params"]))
     full, flap = m.apply(vs, x, False)
     assert full.dtype == jnp.bfloat16
+
+
+def test_maxpool_custom_vjp_gradient(rng):
+    """_maxpool's hand VJP == jnp.max's autodiff away from ties."""
+    import jax
+    import jax.numpy as jnp
+
+    from ctunet_tpu.models.unet import _maxpool
+
+    x = jnp.asarray(rng.random((1, 4, 6, 8, 3)).astype(np.float32))
+    # no exact ties in random floats -> both tie conventions agree
+
+    def ref(x):
+        b, d, h, w, c = x.shape
+        y = x.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, c).max((2, 4, 6))
+        return jnp.sum(jnp.sin(y))
+
+    def ours(x):
+        return jnp.sum(jnp.sin(_maxpool(x)))
+
+    np.testing.assert_allclose(float(ours(x)), float(ref(x)), rtol=1e-6)
+    g_ref = jax.grad(ref)(x)
+    g_ours = jax.grad(ours)(x)
+    np.testing.assert_allclose(
+        np.asarray(g_ours), np.asarray(g_ref), atol=1e-6
+    )
