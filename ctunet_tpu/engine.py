@@ -196,11 +196,17 @@ def build_predict(
     variables: Dict[str, Any],
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
+    halo_fn=None,
+    jit: bool = True,
 ):
     """Build a jitted ``predict(images)`` for (B, D, H, W, C) inputs.
 
     ``variables``: {'params', 'batch_stats'} as produced by the model zoo /
     checkpoint load / torch port.
+
+    ``halo_fn``: optional hook applied to every produced chained tensor —
+    used by :func:`build_sharded_predict` to refresh depth-halo planes from
+    neighbor shards over ICI when one volume is sharded across chips.
     """
     cfg = ENGINE_CONFIGS[model_class]
     if cfg["family"] == "legacy":
@@ -396,22 +402,23 @@ def build_predict(
         XLA touches the data only at entry and at the head."""
         x = x.astype(compute_dtype)
         d, hh, ww, _ = x.shape
+        H = halo_fn if halo_fn is not None else (lambda t: t)
 
         # --- encoder (chained) ---
         p = pc.choose_pack(ww, d_units[0][0].cin)
         xp = x.reshape(d, hh, ww // p, p * x.shape[-1])
         skips = []
         dd, dh, dwp = d, hh, ww // p
-        xc = pc.to_chain(xp, p)
+        xc = H(pc.to_chain(xp, p))
         for i in range(n_blocks):
-            xc = d_units[i][0].call_chain(xc, p, dh, dwp)
-            xc = d_units[i][1].call_chain(xc, p, dh, dwp)
+            xc = H(d_units[i][0].call_chain(xc, p, dh, dwp))
+            xc = H(d_units[i][1].call_chain(xc, p, dh, dwp))
             cout = d_units[i][1].cout
             skips.append((xc, p, cout, dh, dwp))
             if p >= 2 and dd % 2 == 0 and dh % 2 == 0:
-                xc = pc.maxpool2_chain(
+                xc = H(pc.maxpool2_chain(
                     xc, dh, dwp, p, cout, interpret=interpret
-                )
+                ))
                 p //= 2
             else:  # pack exhausted: pool in standard space (W halves)
                 xp = pc.from_chain(xc, dh, dwp, p * cout)
@@ -420,7 +427,7 @@ def build_predict(
                 )
                 p = 1
                 dwp = xp.shape[2]
-                xc = pc.to_chain(xp, p)
+                xc = H(pc.to_chain(xp, p))
             dd, dh = dd // 2, dh // 2
 
         # --- decoder (all-chained) ---
@@ -434,10 +441,10 @@ def build_predict(
             if chainable:
                 ma, pbias, mb = _get_chain_mats(idx, ap)
                 b_c = b[0] if b is not None else None
-                a_chain = pct.conv_transpose_chain(
+                a_chain = H(pct.conv_transpose_chain(
                     a_chain, ma, pbias, dh, dwp,
                     b_chain=b_c, mats_b=mb, interpret=interpret,
-                )
+                ))
                 ap *= 2
                 dd, dh = dd * 2, dh * 2
             else:  # mixed packs (e.g. after a standard-space pool)
@@ -455,11 +462,11 @@ def build_predict(
                 cin_u = u_units[idx][0].cin
                 ap = pc.choose_pack(up.shape[2], cin_u)
                 dd, dh, dwp = up.shape[0], up.shape[1], up.shape[2] // ap
-                a_chain = pc.to_chain(
+                a_chain = H(pc.to_chain(
                     up.reshape(dd, dh, dwp, ap * up.shape[3]), ap
-                )
-            a_chain = u_units[idx][0].call_chain(a_chain, ap, dh, dwp)
-            a_chain = u_units[idx][1].call_chain(a_chain, ap, dh, dwp)
+                ))
+            a_chain = H(u_units[idx][0].call_chain(a_chain, ap, dh, dwp))
+            a_chain = H(u_units[idx][1].call_chain(a_chain, ap, dh, dwp))
             a_cout = u_units[idx][1].cout
             b = sk
 
@@ -473,10 +480,70 @@ def build_predict(
             pc.unpack_output(bpk, bp, bco),
         )
 
+    if not jit:
+        return forward_one
+
     @jax.jit
     def predict(images: jax.Array):
         outs = [forward_one(images[i]) for i in range(images.shape[0])]
         return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+
+    return predict
+
+
+def build_sharded_predict(
+    model_class: str,
+    variables: Dict[str, Any],
+    mesh,
+    axis: str = "spatial",
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+):
+    """Fused-engine inference with ONE volume's depth sharded over ``axis``.
+
+    Each device runs the chained-kernel engine on its depth shard; the
+    chained layout's explicit halo planes are refreshed from neighbor
+    shards over ICI (``parallel.halo.chain_halo_exchange``) after every
+    kernel — serving volumes beyond a single chip's HBM through the fast
+    path (the conv analog of ring attention; SURVEY.md §5 long-context).
+
+    Returns ``predict(images)`` for (B, D, H, W, C); D must divide by
+    ``axis_size * 2**n_blocks``.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from .parallel.halo import make_halo_fn
+
+    n = mesh.shape[axis]
+    halo_fn = make_halo_fn(axis, n)
+    fwd = build_predict(
+        model_class, variables, compute_dtype=compute_dtype,
+        interpret=interpret, halo_fn=halo_fn, jit=False,
+    )
+    n_blocks = ENGINE_CONFIGS[model_class]["n_blocks"]
+
+    spec_in = P(None, axis)  # (B, D, H, W, C): shard depth
+    spec_out = P(None, axis)
+
+    def one_shard(images):
+        outs = [fwd(images[i]) for i in range(images.shape[0])]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+
+    sharded = shard_map(
+        one_shard, mesh=mesh,
+        in_specs=(spec_in,), out_specs=spec_out,
+        check_vma=False,
+    )
+
+    @jax.jit
+    def predict(images: jax.Array):
+        d = images.shape[1]
+        assert d % (n * (2 ** n_blocks)) == 0, (
+            f"depth {d} must divide by shards*pool-multiple "
+            f"{n * 2 ** n_blocks}"
+        )
+        return sharded(images)
 
     return predict
 

@@ -122,3 +122,35 @@ def test_atlas_convention_discovery(tmp_path):
     nifti.write(p, nifti.NiftiImage(arr))
     got = atlas_mod.load_atlas((6, 10, 12), str(tmp_path))
     np.testing.assert_array_equal(got, arr)
+
+
+def test_decode_cache(tmp_path):
+    """Decode cache: second read hits RAM; capacity evicts LRU; mtime
+    invalidates."""
+    import numpy as np
+
+    from ctunet_tpu.data import make_dataset
+    from ctunet_tpu.data.datasets import _DecodeCache
+
+    calls = {"n": 0}
+
+    def make_loader(val):
+        def load():
+            calls["n"] += 1
+            return np.full((4, 4, 4), val, np.float32)
+        return load
+
+    c = _DecodeCache(max_bytes=2 * 4 * 4 * 4 * 4)  # fits two volumes
+    p = str(tmp_path / "a")
+    open(p, "w").write("x")
+    a1 = c.get(p, make_loader(1.0))
+    a2 = c.get(p, make_loader(1.0))
+    assert calls["n"] == 1 and a1 is a2
+    assert not a1.flags.writeable
+    # evict: add two more distinct paths
+    for i in range(2):
+        q = str(tmp_path / f"b{i}")
+        open(q, "w").write("x")
+        c.get(q, make_loader(float(i)))
+    c.get(p, make_loader(2.0))  # 'a' was evicted -> reload
+    assert calls["n"] == 4
