@@ -394,6 +394,29 @@ class Model:
 
         print_params_dict(self.params)
 
+        # Failure recovery (SURVEY.md §5: the reference has none beyond
+        # manual resume): on SIGTERM/SIGINT — e.g. a TPU-VM preemption
+        # notice — finish the current batch, checkpoint, and exit cleanly
+        # so `resume_model` continues from the interrupted state.
+        import signal
+
+        interrupted = {"flag": False}
+        prev_handlers = {}
+
+        def _on_signal(signum, frame):
+            interrupted["flag"] = True
+            print(
+                f"signal {signum} received: checkpointing after the "
+                "current batch..."
+            )
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                prev_handlers[sig] = signal.signal(sig, _on_signal)
+            except ValueError:  # non-main thread
+                pass
+        self._interrupted = interrupted
+
         n_epochs = int(self.params["n_epochs"])
         for n_epoch in range(1, n_epochs + 1):
             ep_time = tic()
@@ -439,6 +462,20 @@ class Model:
 
             self.save_main_model()
 
+            if interrupted["flag"]:
+                print(
+                    f"interrupted at epoch {n_epoch}: emergency checkpoint "
+                    "saved; resume with s_resume_model."
+                )
+                self.save_main_model(self.cfg_path, True)
+                break
+
+        for sig, h in prev_handlers.items():
+            try:
+                signal.signal(sig, h)
+            except ValueError:
+                pass
+
         self._variables = {
             "params": self.state.params,
             "batch_stats": self.state.batch_stats,
@@ -479,6 +516,8 @@ class Model:
                         idx + 1, n, 100.0 * (idx + 1) / n, float(loss)
                     )
                 )
+            if getattr(self, "_interrupted", {}).get("flag"):
+                break  # preemption: finish epoch bookkeeping + checkpoint
 
     def _forward_pass_eval(self, eval_step, n_epoch: int) -> None:
         print("Phase: val.")

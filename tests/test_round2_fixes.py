@@ -238,3 +238,55 @@ def test_restore_partial_checkpoint_with_template(tmp_path, capsys):
     ckpt.save_checkpoint(full, state)
     restored = ckpt.restore_checkpoint(full, template_state=state)
     assert int(restored["step"]) == 3
+
+
+def test_sigterm_checkpoints_and_stops(tmp_path, monkeypatch):
+    """Preemption handling: a signal mid-training checkpoints and exits the
+    loop cleanly (SURVEY.md §5 failure-recovery gap in the reference).
+    The signal fires deterministically from inside the second train step
+    (after the trainer has installed its handler)."""
+    import os
+    import signal
+
+    orig_make = steps.make_train_step
+
+    def wrapped_make(*a, **k):
+        step = orig_make(*a, **k)
+        count = {"n": 0}
+
+        def stepped(*args):
+            count["n"] += 1
+            if count["n"] == 2:
+                os.kill(os.getpid(), signal.SIGINT)
+            return step(*args)
+
+        return stepped
+
+    monkeypatch.setattr(steps, "make_train_step", wrapped_make)
+
+    csv_train = make_dataset(str(tmp_path / "d"), n=2, shape=(16, 16, 16))
+    p = dict(
+        train_flag=True,
+        test_flag=False,
+        name="preempt",
+        model_class="UNetDO",
+        problem_handler="FlapRecDoubleOut",
+        device="cpu",
+        n_epochs=50,  # would run long without the interrupt
+        batch_size=2,
+        dice_lambda=1.0,
+        ce_lambda=1.0,
+        workspace_path=str(tmp_path / "ws"),
+        train_files_csv=csv_train,
+        validation_files_csv=csv_train,
+        compute_dtype="float32",
+        remat=False,
+        log_every=0,
+        n_workers=1,
+    )
+    m = Model(params=p)
+    assert m.current_epoch < 50  # stopped early
+    ckpts = os.listdir(
+        str(tmp_path / "ws" / "UNetDO_FlapRecDoubleOut" / "model")
+    )
+    assert any(x.endswith(".ckpt") for x in ckpts)
