@@ -60,7 +60,8 @@ def measure_torch_baseline(n_iters: int = 3) -> float:
     return 1.0 / sec
 
 
-def measure_jax(n_iters: int = 10) -> float:
+def measure_jax(n_iters: int = 10):
+    """Returns (volumes_per_sec, profile_breakdown_or_None)."""
     import jax
 
     jax.config.update(

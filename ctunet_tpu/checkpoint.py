@@ -65,11 +65,23 @@ def restore_checkpoint(path: str, template_state=None) -> Dict[str, Any]:
             # shape-mismatched checkpoint still raises.
             stored_keys = _stored_top_keys(path)
             if stored_keys is None or set(template) <= stored_keys:
-                return ckptr.restore(path, template)
-            print(
-                f"checkpoint {path} lacks {set(template) - stored_keys}; "
-                "restoring raw tree (no template)."
-            )
+                try:
+                    return ckptr.restore(path, template)
+                except Exception as e:
+                    if stored_keys is not None:
+                        raise
+                    # No readable _METADATA (older orbax / schema drift):
+                    # behave like the documented fallback, loudly.
+                    print(
+                        f"template restore of {path} failed "
+                        f"({type(e).__name__}: {e}); restoring raw tree."
+                    )
+            else:
+                print(
+                    f"checkpoint {path} lacks "
+                    f"{set(template) - stored_keys}; restoring raw tree "
+                    "(no template)."
+                )
         return ckptr.restore(path)
 
 

@@ -106,12 +106,22 @@ class _FusedUnit:
                    wp: int) -> jax.Array:
         """Chained-flat path: consume AND produce the canonical flat layout
         (``ops/pallas/conv3d.py`` chained kernel) — no XLA glue between
-        chained convs."""
-        pw, pb = self._get_packed(pack)
-        return pc.conv3d_chain(
-            xc, pw, pb, hh, wp, relu=True, interpret=self.interpret,
-            out_dtype=xc.dtype,
-        )
+        chained convs. Falls back to from_chain -> XLA conv -> to_chain
+        when the kernel's tiling constraints don't hold for the shape."""
+        try:
+            pw, pb = self._get_packed(pack)
+            return pc.conv3d_chain(
+                xc, pw, pb, hh, wp, relu=True, interpret=self.interpret,
+                out_dtype=xc.dtype,
+            )
+        except (ValueError, AssertionError):
+            std = pc.unpack_output(
+                pc.from_chain(xc, hh, wp, pack * self.cin), pack, self.cin
+            )
+            out = self._xla(std)
+            d_, h_, w_, co = out.shape
+            return pc.to_chain(out.reshape(d_, h_, w_ // pack, pack * co),
+                               pack)
 
     def call_packed(self, x_packed: jax.Array, pack: int) -> jax.Array:
         """Packed-resident path: (D, H, W/pack, >=pack*Cin) in, packed out.
@@ -237,19 +247,15 @@ def build_predict(
         ]
         for i in range(n_blocks)
     ]
-    up_kernels = [
-        (
-            jnp.asarray(_np(params[f"u{i}"]["upconv"]["kernel"])),
-            jnp.asarray(_np(params[f"u{i}"]["upconv"]["bias"])),
-        )
-        for i in range(n_blocks)
-    ]
     up_raw = [
         (
             _np(params[f"u{i}"]["upconv"]["kernel"]),
             _np(params[f"u{i}"]["upconv"]["bias"]),
         )
         for i in range(n_blocks)
+    ]
+    up_kernels = [
+        (jnp.asarray(kk), jnp.asarray(bb)) for kk, bb in up_raw
     ]
     # Precomputed matmul matrices for the Pallas convT kernels (split into
     # (prev-output, skip) operands where the input is a weight-split concat).
@@ -515,6 +521,11 @@ def build_sharded_predict(
 
     from .parallel.halo import make_halo_fn
 
+    if ENGINE_CONFIGS[model_class]["family"] != "generic":
+        raise NotImplementedError(
+            f"sharded engine supports the generic UNet family only, not "
+            f"'{model_class}' (the legacy path has no chained layout)"
+        )
     n = mesh.shape[axis]
     halo_fn = make_halo_fn(axis, n)
     fwd = build_predict(

@@ -389,12 +389,18 @@ def _maxpool2_fwd(x):
 def _maxpool2_bwd(res, g):
     x, y = res
     # Layout-friendly backward: compare against the 2x-upsampled max and
-    # route the (upsampled) gradient to matching elements. All tensors stay
-    # standard 5D channels-last — jnp.max's default VJP materialized 8D
-    # broadcast temps that XLA laid out at (2,128) tiles, costing ~97 ms of
-    # the full-res train step. Ties receive the gradient each (vs torch's
-    # first-element routing; at ReLU zeros the upstream grad dies anyway).
-    dx = jnp.where(x == _repeat2(y), _repeat2(g), 0).astype(x.dtype)
+    # route the (upsampled) gradient to matching elements, split evenly
+    # among ties (matching jnp.max's subgradient; ties are common in bf16
+    # activations). All tensors stay standard 5D channels-last — jnp.max's
+    # default VJP materialized 8D broadcast temps that XLA laid out at
+    # (2,128) tiles, costing ~97 ms of the full-res train step.
+    eq = (x == _repeat2(y)).astype(jnp.float32)
+    b, d, h, w, c = eq.shape
+    ties = eq.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, c).sum(
+        axis=(2, 4, 6)
+    )
+    gg = g.astype(jnp.float32) / ties
+    dx = (eq * _repeat2(gg)).astype(x.dtype)
     return (dx,)
 
 

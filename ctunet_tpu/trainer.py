@@ -418,6 +418,24 @@ class Model:
         self._interrupted = interrupted
 
         n_epochs = int(self.params["n_epochs"])
+        try:
+            self._train_epochs(
+                n_epochs, train_step, eval_step, interrupted
+            )
+        finally:
+            for sig, h in prev_handlers.items():
+                try:
+                    signal.signal(sig, h)
+                except ValueError:
+                    pass
+
+        self._variables = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+        }
+
+    def _train_epochs(self, n_epochs, train_step, eval_step,
+                      interrupted) -> None:
         for n_epoch in range(1, n_epochs + 1):
             ep_time = tic()
             self.current_epoch = n_epoch
@@ -469,17 +487,6 @@ class Model:
                 )
                 self.save_main_model(self.cfg_path, True)
                 break
-
-        for sig, h in prev_handlers.items():
-            try:
-                signal.signal(sig, h)
-            except ValueError:
-                pass
-
-        self._variables = {
-            "params": self.state.params,
-            "batch_stats": self.state.batch_stats,
-        }
 
     def _accumulate(self, terms: Dict[str, Any]):
         """Accumulate per-batch scalars WITHOUT forcing a device sync:
