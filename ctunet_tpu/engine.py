@@ -79,15 +79,37 @@ class _FusedUnit:
         self.cin = w.shape[3]
         self.cout = w.shape[4]
         self.interpret = interpret
-        self._packed: Dict[int, Any] = {}
+        self._packed: Dict[Any, Any] = {}
 
-    def _get_packed(self, pack: int):
-        if pack not in self._packed:
-            self._packed[pack] = (
-                jnp.asarray(pc.pack_weights(self.w, pack, self.scale)),
-                jnp.asarray(pc.pack_bias(self.bias, pack)),
+    def _aug(self, ones_in: bool, ones_out: bool):
+        """Weights/scale/bias augmented with the ones-channel convention:
+        an extra zero INPUT row (the incoming ones lane is ignored) and/or
+        an extra OUTPUT channel with zero weights, scale 1 and bias 1 —
+        ReLU regenerates a clean ones field every conv, which fused
+        downstream ops use to carry additive terms (upconv bias)."""
+        w, scale, bias = self.w, self.scale, self.bias
+        if ones_in:
+            w = np.concatenate(
+                [w, np.zeros(w.shape[:3] + (1, w.shape[4]), np.float32)], 3
             )
-        return self._packed[pack]
+        if ones_out:
+            w = np.concatenate(
+                [w, np.zeros(w.shape[:4] + (1,), np.float32)], 4
+            )
+            scale = np.concatenate([scale, np.ones(1, np.float32)])
+            bias = np.concatenate([bias, np.ones(1, np.float32)])
+        return w, scale, bias
+
+    def _get_packed(self, pack: int, ones_in: bool = False,
+                    ones_out: bool = False):
+        key = (pack, ones_in, ones_out)
+        if key not in self._packed:
+            w, scale, bias = self._aug(ones_in, ones_out)
+            self._packed[key] = (
+                jnp.asarray(pc.pack_weights(w, pack, scale)),
+                jnp.asarray(pc.pack_bias(bias, pack)),
+            )
+        return self._packed[key]
 
     def __call__(self, x: jax.Array) -> jax.Array:
         ww = x.shape[2]
@@ -102,23 +124,30 @@ class _FusedUnit:
         except (ValueError, AssertionError):
             return self._xla(x)
 
-    def call_chain(self, xc: jax.Array, pack: int, hh: int,
-                   wp: int) -> jax.Array:
+    def call_chain(self, xc: jax.Array, pack: int, hh: int, wp: int,
+                   ones_in: bool = False,
+                   ones_out: bool = False) -> jax.Array:
         """Chained-flat path: consume AND produce the canonical flat layout
         (``ops/pallas/conv3d.py`` chained kernel) — no XLA glue between
         chained convs. Falls back to from_chain -> XLA conv -> to_chain
-        when the kernel's tiling constraints don't hold for the shape."""
+        when the kernel's tiling constraints don't hold for the shape.
+        ``ones_in``/``ones_out``: the ones-channel convention (see _aug)."""
         try:
-            pw, pb = self._get_packed(pack)
+            pw, pb = self._get_packed(pack, ones_in, ones_out)
             return pc.conv3d_chain(
                 xc, pw, pb, hh, wp, relu=True, interpret=self.interpret,
                 out_dtype=xc.dtype,
             )
         except (ValueError, AssertionError):
+            cin = self.cin + (1 if ones_in else 0)
             std = pc.unpack_output(
-                pc.from_chain(xc, hh, wp, pack * self.cin), pack, self.cin
+                pc.from_chain(xc, hh, wp, pack * cin), pack, cin
             )
-            out = self._xla(std)
+            out = self._xla(std[..., : self.cin])
+            if ones_out:
+                out = jnp.concatenate(
+                    [out, jnp.ones_like(out[..., :1])], -1
+                )
             d_, h_, w_, co = out.shape
             return pc.to_chain(out.reshape(d_, h_, w_ // pack, pack * co),
                                pack)
@@ -278,27 +307,42 @@ def build_predict(
                 )
             )
 
-    # Block-diagonal matrices for the chain-direct convT, built lazily per
-    # input pack (the pack is a function of the input volume's W).
-    _chain_mats: Dict[Any, Any] = {}
+    # Composite upsample+conv matrices (fused ConvT o conv0; see
+    # ops/pallas/upconv.py), built lazily per input pack. The convT bias
+    # rides the operands' ones channel; conv0's BN fold and its own
+    # ones-output regeneration are baked in.
+    from .ops.pallas import upconv as uc
 
-    def _get_chain_mats(idx: int, pa: int):
+    _upconv_mats: Dict[Any, Any] = {}
+
+    def _get_upconv_mats(idx: int, pa: int):
         key = (idx, pa)
-        if key not in _chain_mats:
+        if key not in _upconv_mats:
             kk, bb = up_raw[idx]
+            bcol = np.broadcast_to(
+                np.asarray(bb, np.float32)[None, None, None, :, None],
+                kk.shape[:4] + (1,),
+            ).copy()
             if idx == 0:
-                ma, pb = pct.build_chain_matrices(kk, bb, pa)
-                _chain_mats[key] = (jnp.asarray(ma), jnp.asarray(pb), None)
+                kT_aug = np.concatenate([kk, bcol], -1)
+                ci_split = None
             else:
                 ca = u_units[idx - 1][1].cout
-                ma, pb = pct.build_chain_matrices(kk[..., :ca], bb, pa)
-                mb, _ = pct.build_chain_matrices(
-                    kk[..., ca:], np.zeros_like(bb), pa
+                zcol = np.zeros_like(bcol)
+                kT_aug = np.concatenate(
+                    [kk[..., :ca], bcol, kk[..., ca:], zcol], -1
                 )
-                _chain_mats[key] = (
-                    jnp.asarray(ma), jnp.asarray(pb), jnp.asarray(mb)
-                )
-        return _chain_mats[key]
+                ci_split = ca + 1
+            unit0 = u_units[idx][0]
+            w0a, s0a, b0a = unit0._aug(False, True)
+            R = uc.composite_response(kT_aug, w0a, s0a)
+            ma, mb = uc.build_upconv_matrices(R, pa, ci_split)
+            _upconv_mats[key] = (
+                jnp.asarray(ma),
+                None if mb is None else jnp.asarray(mb),
+                jnp.asarray(uc.pack_out_bias(b0a, 2 * pa)),
+            )
+        return _upconv_mats[key]
 
     lc_k = jnp.asarray(_np(params["last_conv"]["kernel"]))  # (1,1,1,I,O)
     lc_b = jnp.asarray(_np(params["last_conv"]["bias"]))
@@ -331,32 +375,36 @@ def build_predict(
 
     # Constant head matrices in PACKED lane space (block-diag via kron):
     # consuming the packed layout directly avoids the unpack slices + layout
-    # copies at full resolution (~5 ms/volume).
-    _head_mats: Dict[int, Any] = {}
+    # copies at full resolution (~5 ms/volume). Operand lane strides include
+    # the ones channel (zero head row).
+    _head_mats: Dict[Any, Any] = {}
 
-    def _get_head_mats(pa: int, ca: int):
-        if pa not in _head_mats:
+    def _get_head_mats(pa: int, ca: int, cb: int):
+        key = (pa, ca, cb)
+        if key not in _head_mats:
             eye = np.eye(pa, dtype=np.float32)
             lk = _np(lc_k)[0, 0, 0]  # (ca+cb, 3)
-            m_a = np.kron(eye, lk[:ca])
-            m_b = np.kron(eye, lk[ca:])
+            zrow = np.zeros((1, lk.shape[1]), np.float32)
+            m_a = np.kron(eye, np.concatenate([lk[:ca], zrow]))
+            m_b = np.kron(eye, np.concatenate([lk[ca: ca + cb], zrow]))
             bias3 = np.tile(_np(lc_b), pa)
             m_full = np.kron(eye, np.asarray(
                 [[1.0, 0.0], [0.0, 1.0], [0.0, 1.0]], np.float32))
             m_flap = np.kron(eye, np.asarray(
                 [[0.0, 0.0], [-1.0, 1.0], [0.0, 0.0]], np.float32))
             b_flap = np.tile(np.asarray([1.0, 0.0], np.float32), pa)
-            _head_mats[pa] = tuple(
+            _head_mats[key] = tuple(
                 jnp.asarray(m) for m in
                 (m_a, m_b, bias3, m_full, m_flap, b_flap)
             )
-        return _head_mats[pa]
+        return _head_mats[key]
 
-    def _head_packed(apk, bpk, pa: int, ca: int, hh: int, ww: int):
-        """Head math on std-PACKED operands (D, H, wp, pa*C): the channel
-        splits/concats become block-diagonal matmuls; the final unpack to
-        (D, H, W, 2) is a pure reshape."""
-        m_a, m_b, bias3, m_full, m_flap, b_flap = _get_head_mats(pa, ca)
+    def _head_packed(apk, bpk, pa: int, ca: int, cb: int, hh: int,
+                     ww: int):
+        """Head math on std-PACKED operands (D, H, wp, pa*(C+1)): the
+        channel splits/concats become block-diagonal matmuls; the final
+        unpack to (D, H, W, 2) is a pure reshape."""
+        m_a, m_b, bias3, m_full, m_flap, b_flap = _get_head_mats(pa, ca, cb)
         dt = apk.dtype
         lc = (
             apk @ m_a.astype(dt) + bpk @ m_b.astype(dt) + bias3.astype(dt)
@@ -401,42 +449,48 @@ def build_predict(
 
     def forward_one(x: jax.Array):
         """Chained-flat forward: the WHOLE U-Net body runs in one canonical
-        flat layout — fused convs, fused pooling, and chain-direct convT
-        (block-diagonal lanes, pack doubles across the upsample) all read
-        and write it with halo zeros maintained in-kernel. Skip concats are
-        never materialized (conv/convT over a concat = weight-split sum);
-        XLA touches the data only at entry and at the head."""
+        flat layout — fused convs, fused pooling, and the fused
+        upsample+conv (ConvT o conv composed into one 2-tap/dim kernel at
+        HALF-resolution inputs) all read and write it with halo zeros
+        maintained in-kernel. A constant ones channel rides every tensor
+        (regenerated by each conv's bias lane) to carry the convT bias
+        through the composition; skip concats are never materialized
+        (weight-split sums); XLA touches the data only at entry and the
+        head."""
         x = x.astype(compute_dtype)
-        d, hh, ww, _ = x.shape
+        d, hh, ww, cin0 = x.shape
         H = halo_fn if halo_fn is not None else (lambda t: t)
+        x = jnp.concatenate([x, jnp.ones_like(x[..., :1])], -1)
 
         # --- encoder (chained) ---
-        p = pc.choose_pack(ww, d_units[0][0].cin)
-        xp = x.reshape(d, hh, ww // p, p * x.shape[-1])
+        p = pc.choose_pack(ww, cin0 + 1)
+        xp = x.reshape(d, hh, ww // p, p * (cin0 + 1))
         skips = []
         dd, dh, dwp = d, hh, ww // p
         xc = H(pc.to_chain(xp, p))
         for i in range(n_blocks):
-            xc = H(d_units[i][0].call_chain(xc, p, dh, dwp))
-            xc = H(d_units[i][1].call_chain(xc, p, dh, dwp))
+            xc = H(d_units[i][0].call_chain(
+                xc, p, dh, dwp, ones_in=True, ones_out=True))
+            xc = H(d_units[i][1].call_chain(
+                xc, p, dh, dwp, ones_in=True, ones_out=True))
             cout = d_units[i][1].cout
             skips.append((xc, p, cout, dh, dwp))
             if p >= 2 and dd % 2 == 0 and dh % 2 == 0:
                 xc = H(pc.maxpool2_chain(
-                    xc, dh, dwp, p, cout, interpret=interpret
+                    xc, dh, dwp, p, cout + 1, interpret=interpret
                 ))
                 p //= 2
             else:  # pack exhausted: pool in standard space (W halves)
-                xp = pc.from_chain(xc, dh, dwp, p * cout)
+                xp = pc.from_chain(xc, dh, dwp, p * (cout + 1))
                 xp = _maxpool2(xp) if p == 1 else _maxpool2(
-                    pc.unpack_output(xp, p, cout)
+                    pc.unpack_output(xp, p, cout + 1)
                 )
                 p = 1
                 dwp = xp.shape[2]
                 xc = H(pc.to_chain(xp, p))
             dd, dh = dd // 2, dh // 2
 
-        # --- decoder (all-chained) ---
+        # --- decoder (all-chained, upsample+conv fused) ---
         a_chain, ap, a_cout, b = xc, p, d_units[-1][1].cout, None
         for idx in range(n_blocks):
             i = n_blocks - 1 - idx
@@ -445,45 +499,49 @@ def build_predict(
                 b[1] == ap and b[4] == dwp and b[3] == dh
             )
             if chainable:
-                ma, pbias, mb = _get_chain_mats(idx, ap)
+                ma, mb, pbias2 = _get_upconv_mats(idx, ap)
                 b_c = b[0] if b is not None else None
-                a_chain = H(pct.conv_transpose_chain(
-                    a_chain, ma, pbias, dh, dwp,
+                a_chain = H(uc.upconv_fused_chain(
+                    a_chain, ma, pbias2, dh, dwp,
                     b_chain=b_c, mats_b=mb, interpret=interpret,
                 ))
                 ap *= 2
                 dd, dh = dd * 2, dh * 2
             else:  # mixed packs (e.g. after a standard-space pool)
                 a = pc.unpack_output(
-                    pc.from_chain(a_chain, dh, dwp, ap * a_cout),
-                    ap, a_cout,
-                )
+                    pc.from_chain(a_chain, dh, dwp, ap * (a_cout + 1)),
+                    ap, a_cout + 1,
+                )[..., :a_cout]
                 b_std = None
                 if b is not None:
                     bc, bp, bco, bdh, bdwp = b
                     b_std = pc.unpack_output(
-                        pc.from_chain(bc, bdh, bdwp, bp * bco), bp, bco
-                    )
+                        pc.from_chain(bc, bdh, bdwp, bp * (bco + 1)),
+                        bp, bco + 1,
+                    )[..., :bco]
                 up = _upsample(idx, a, b_std)
                 cin_u = u_units[idx][0].cin
-                ap = pc.choose_pack(up.shape[2], cin_u)
+                ap = pc.choose_pack(up.shape[2], cin_u + 1)
                 dd, dh, dwp = up.shape[0], up.shape[1], up.shape[2] // ap
+                up = jnp.concatenate([up, jnp.ones_like(up[..., :1])], -1)
                 a_chain = H(pc.to_chain(
                     up.reshape(dd, dh, dwp, ap * up.shape[3]), ap
                 ))
-            a_chain = H(u_units[idx][0].call_chain(a_chain, ap, dh, dwp))
-            a_chain = H(u_units[idx][1].call_chain(a_chain, ap, dh, dwp))
+                a_chain = H(u_units[idx][0].call_chain(
+                    a_chain, ap, dh, dwp, ones_in=True, ones_out=True))
+            a_chain = H(u_units[idx][1].call_chain(
+                a_chain, ap, dh, dwp, ones_in=True, ones_out=True))
             a_cout = u_units[idx][1].cout
             b = sk
 
-        apk = pc.from_chain(a_chain, dh, dwp, ap * a_cout)
+        apk = pc.from_chain(a_chain, dh, dwp, ap * (a_cout + 1))
         bc, bp, bco, bdh, bdwp = b
-        bpk = pc.from_chain(bc, bdh, bdwp, bp * bco)
+        bpk = pc.from_chain(bc, bdh, bdwp, bp * (bco + 1))
         if bp == ap and (bdh, bdwp) == (dh, dwp):
-            return _head_packed(apk, bpk, ap, a_cout, dh, dwp * ap)
+            return _head_packed(apk, bpk, ap, a_cout, bco, dh, dwp * ap)
         return _head(
-            pc.unpack_output(apk, ap, a_cout),
-            pc.unpack_output(bpk, bp, bco),
+            pc.unpack_output(apk, ap, a_cout + 1)[..., :a_cout],
+            pc.unpack_output(bpk, bp, bco + 1)[..., :bco],
         )
 
     if not jit:

@@ -1,0 +1,344 @@
+"""Fused upsample+conv Pallas kernel: ConvT(k2,s2) ∘ Conv3D(k3)+BN+ReLU.
+
+The decoder's dominant cost was the pair [chain convT] -> [28->7 full-res
+chain conv]: the conv's W-packing inflates its FLOPs 16x at full
+resolution (37.7 ms of a 97.5 ms volume). Composing the two linear ops
+into ONE fractionally-strided kernel evaluates the conv at HALF resolution
+inputs: each full-res output voxel draws 2 taps/dim (2^3 total) from the
+half-res operands, cutting useful MACs ~3.4x and kernel time ~4x.
+
+Construction is by IMPULSE-RESPONSE EXTRACTION (``composite_response``):
+the composite of convT(transpose-kernel layout, incl. weight-split dual
+operands) and the BN-folded conv is shift-invariant w.r.t. input shifts by
+one (output shifts by two), so per-channel unit impulses fully determine
+the 4^3-support response R[r], r in [-1,2]^3; out[v] = sum_u R[v-2u] in[u].
+For out parity alpha per dim, the nonzero taps are u = ceil(v/2)-1+delta,
+delta in {0,1} — exactly 2 per dim.
+
+The convT BIAS rides as an extra input channel of the first operand that
+is constant 1 inside the volume and 0 in the halo (SAME-conv semantics at
+borders come out exactly); the engine gets that channel FOR FREE by giving
+the producing conv kernel an extra output channel with zero weights and
+bias 1 (ReLU(1)=1).
+
+The kernel mirrors ``conv3d_chain``'s tap-slice structure with kd=ky=2 and
+per-output-row-parity weight matrices (interleaved like
+``conv_transpose_chain``): chain layout in (2 operands, half res, pack p)
+-> chain layout out (full res, pack 2p).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def composite_response(
+    kT: np.ndarray,
+    w0: np.ndarray,
+    scale0: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Composite responses R[rz, ry, rx, ci, co] (r in [-1,2] -> index r+1).
+
+    :param kT: convT weights, flax transpose_kernel layout (2,2,2,Ct,Cin)
+        over the FULL concat input (operand split happens at pack time).
+        The convT BIAS must already be appended as the last input-channel
+        column, constant across the (2,2,2) taps — callers then feed that
+        channel as the ones-field (see module docstring).
+    :param w0: conv weights (3,3,3,Ct,Co); ``scale0`` optional BN fold.
+    """
+    kT = np.asarray(kT, np.float64)
+    w0 = np.asarray(w0, np.float64)
+    if scale0 is not None:
+        w0 = w0 * np.asarray(scale0, np.float64)[None, None, None, None, :]
+    ct, cin = kT.shape[3], kT.shape[4]
+    co = w0.shape[4]
+    # R[r] = sum_{a,b,c,d3} kT[a,b,c,:,ci] * w0[d3,:,co] with
+    # r = (a,b,c) + 1 - d3  (convT out at 2u+a; conv taps v+d3-1 = 2u+a
+    # -> r = v-2u = a - d3 + 1 per dim).
+    R = np.zeros((4, 4, 4, cin, co), np.float64)
+    for az in range(2):
+        for ay in range(2):
+            for ax in range(2):
+                for dz in range(3):
+                    for dy in range(3):
+                        for dx in range(3):
+                            rz = az - dz + 1
+                            ry = ay - dy + 1
+                            rx = ax - dx + 1
+                            R[rz + 1, ry + 1, rx + 1] += np.einsum(
+                                "ti,to->io", kT[az, ay, ax], w0[dz, dy, dx]
+                            )
+    return R.astype(np.float32)
+
+
+def _r_index(alpha: int, delta: int) -> int:
+    """r = v - 2u for out parity ``alpha`` and tap ``delta``
+    (u = ceil(v/2) - 1 + delta); returns r+1 (R array index)."""
+    v = 2 + alpha  # any representative with v % 2 == alpha
+    u = -(-v // 2) - 1 + delta
+    return v - 2 * u + 1
+
+
+def build_upconv_matrices(
+    R: np.ndarray,
+    pin: int,
+    ci_split: Optional[int] = None,
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Packed per-parity matrices from the composite response.
+
+    :param R: (4,4,4,Cin,Co) from :func:`composite_response`.
+    :param pin: input pack; output pack is 2*pin.
+    :param ci_split: channels of the FIRST operand (incl. the ones
+        channel); remaining channels form the second operand's matrices.
+        None = single operand.
+    :returns: ``mats_a`` (2,2,12, Cin_p, Cout_p) indexed
+        [alpha_z][beta_y][(dz*2+dy)*3 + (t+1)], and ``mats_b`` or None.
+        Tap semantics match ``conv3d_chain``: input row slice offset
+        ``dy*wpad + t`` relative to the out row's base input row
+        (u_y = ceil(y/2)-1), plane offset ``dz``.
+    """
+    cin, co = R.shape[3], R.shape[4]
+    pout = 2 * pin
+    splits = [(0, cin if ci_split is None else ci_split)]
+    if ci_split is not None:
+        splits.append((ci_split, cin - ci_split))
+    outs = []
+    for c0, cw in splits:
+        cin_p = _round_up(pin * cw, LANE)
+        cout_p = _round_up(pout * co, LANE)
+        m = np.zeros((2, 2, 12, cin_p, cout_p), np.float32)
+        for alpha in range(2):      # out z parity
+            for beta in range(2):   # out y parity
+                for dz in range(2):
+                    for dy in range(2):
+                        rz = _r_index(alpha, dz)
+                        ry = _r_index(beta, dy)
+                        for s_out in range(pout):
+                            # x taps: u_x = ceil(x/2)-1+dx, x == s_out mod
+                            # 2p block; fold block crossing into t.
+                            for dx in range(2):
+                                u_x = -(-s_out // 2) - 1 + dx
+                                rx = s_out - 2 * u_x + 1
+                                t = u_x // pin  # -1, 0 (or 1: impossible)
+                                s_in = u_x - t * pin
+                                tap = (dz * 2 + dy) * 3 + (t + 1)
+                                m[alpha, beta, tap,
+                                  s_in * cw: (s_in + 1) * cw,
+                                  s_out * co: (s_out + 1) * co,
+                                  ] += R[rz, ry, rx, c0: c0 + cw, :]
+        outs.append(m)
+    return outs[0], (outs[1] if ci_split is not None else None)
+
+
+def pack_out_bias(bias: np.ndarray, pout: int) -> np.ndarray:
+    cout_p = _round_up(pout * bias.shape[0], LANE)
+    out = np.zeros((1, cout_p), np.float32)
+    out[0, : pout * bias.shape[0]] = np.tile(
+        np.asarray(bias, np.float32), pout
+    )
+    return out
+
+
+def _upconv_kernel(a_hbm, b_hbm, ma_ref, mb_ref, bias_ref, out_hbm,
+                   slab_a, slab_b, acc, outbuf, zbuf, sem_a, sem_b,
+                   sem_out, sem_z, *, rout, dma_rows, wp, wpad, ht, n_h,
+                   hh2, d2, dual):
+    z = pl.program_id(0)   # out plane in [0, 2*Dh)
+    h = pl.program_id(1)
+    h0 = h * ht
+    pin_plane = (z + 1) // 2  # ceil(z/2): first chain plane of the window
+
+    @pl.when(jnp.logical_and(z == 0, h == 0))
+    def _init():
+        slab_a[:, 0:8, :] = jnp.zeros_like(slab_a[:, 0:8, :])
+        if dual:
+            slab_b[:, 0:8, :] = jnp.zeros_like(slab_b[:, 0:8, :])
+        zbuf[:] = jnp.zeros_like(zbuf)
+
+    cp_a = pltpu.make_async_copy(
+        a_hbm.at[pl.ds(pin_plane, 2), pl.ds(h0 * wpad, dma_rows)],
+        slab_a.at[:, pl.ds(8, dma_rows)], sem_a,
+    )
+    cp_a.start()
+    if dual:
+        cp_b = pltpu.make_async_copy(
+            b_hbm.at[pl.ds(pin_plane, 2), pl.ds(h0 * wpad, dma_rows)],
+            slab_b.at[:, pl.ds(8, dma_rows)], sem_b,
+        )
+        cp_b.start()
+
+    def _zero(plane, row0, nrows):
+        cp = pltpu.make_async_copy(
+            zbuf.at[pl.ds(0, nrows)],
+            out_hbm.at[plane, pl.ds(row0, nrows)], sem_z,
+        )
+        cp.start()
+        cp.wait()
+
+    @pl.when(h == 0)
+    def _top():
+        _zero(z + 1, 0, wpad)
+
+    @pl.when(h == n_h - 1)
+    def _bottom():
+        _zero(z + 1, (hh2 + 1) * wpad, wpad)
+
+    @pl.when(z == 0)
+    def _plane0():
+        _zero(0, h * 2 * rout, 2 * rout)
+
+    @pl.when(jnp.logical_and(z == 0, h == 0))
+    def _plane0_tail():
+        _zero(0, hh2 * wpad, 2 * wpad)
+
+    @pl.when(z == d2 - 1)
+    def _planeD():
+        _zero(d2 + 1, h * 2 * rout, 2 * rout)
+
+    @pl.when(jnp.logical_and(z == d2 - 1, h == 0))
+    def _planeD_tail():
+        _zero(d2 + 1, hh2 * wpad, 2 * wpad)
+
+    cp_a.wait()
+    if dual:
+        cp_b.wait()
+
+    alpha = z % 2  # out-plane parity selects the weight set (traced)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rout, 1), 0) % wpad
+    for beta in range(2):
+        acc0 = jnp.zeros((rout, acc.shape[-1]), jnp.float32)
+        for dz in range(2):
+            for dy in range(2):
+                for t in range(3):
+                    off = (beta + dy) * wpad + (t - 1) + 8
+                    tap = (dz * 2 + dy) * 3 + t
+                    idx = (alpha * 2 + beta) * 12 + tap  # flat weight index
+                    xa = slab_a[dz, pl.ds(off, rout), :]
+                    acc0 = acc0 + jax.lax.dot_general(
+                        xa, ma_ref[idx],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    if dual:
+                        xb = slab_b[dz, pl.ds(off, rout), :]
+                        acc0 = acc0 + jax.lax.dot_general(
+                            xb, mb_ref[idx],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+        res = jnp.maximum(acc0 + bias_ref[0][None, :], 0.0)
+        res = jnp.where(col < wp, res, 0.0)
+        acc[beta] = res
+    # interleave (vl, beta, x') -> out rows (2vl+beta)*wpad + x'
+    for vl in range(ht):
+        outbuf[(2 * vl) * wpad: (2 * vl + 1) * wpad] = (
+            acc[0, vl * wpad: (vl + 1) * wpad]
+        ).astype(outbuf.dtype)
+        outbuf[(2 * vl + 1) * wpad: (2 * vl + 2) * wpad] = (
+            acc[1, vl * wpad: (vl + 1) * wpad]
+        ).astype(outbuf.dtype)
+    cp_o = pltpu.make_async_copy(
+        outbuf,
+        out_hbm.at[z + 1, pl.ds((1 + 2 * h0) * wpad, 2 * rout)],
+        sem_out,
+    )
+    cp_o.start()
+    cp_o.wait()
+
+
+def upconv_fused_chain(
+    a_chain: jax.Array,
+    mats_a: jax.Array,
+    bias2: jax.Array,
+    hh: int,
+    wp: int,
+    b_chain: Optional[jax.Array] = None,
+    mats_b: Optional[jax.Array] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused ConvT(k2,s2)+Conv3(k3)+bias+ReLU, chain in -> chain out.
+
+    :param a_chain: (Dh+2, (Hh+2)*wpad, Cpa) at pack ``pin`` (first
+        operand, INCLUDING the ones channel carrying the convT bias).
+    :param mats_a: (2, 2, 12, Cpa, Cpo) from :func:`build_upconv_matrices`.
+    :param bias2: (1, Cpo) conv bias (BN-folded) tiled per packed position.
+    :returns: (2Dh+2, (2Hh+2)*wpad, Cpo) chain at pack ``2*pin``.
+    """
+    dh2, rows, cpa = a_chain.shape
+    dh = dh2 - 2
+    wpad = rows // (hh + 2)
+    assert wpad * (hh + 2) == rows and wpad % 8 == 0
+    cpo = mats_a.shape[-1]
+    dual = b_chain is not None
+    cpb = b_chain.shape[-1] if dual else cpa
+
+    ht = _pick_h_tile(hh, wpad, cpa + (cpb if dual else 0), cpo)
+    n_h = hh // ht
+    rout = ht * wpad
+    dma_rows = (ht + 2) * wpad
+    n_slab = dma_rows + 16
+
+    kern = functools.partial(
+        _upconv_kernel, rout=rout, dma_rows=dma_rows, wp=wp, wpad=wpad,
+        ht=ht, n_h=n_h, hh2=2 * hh, d2=2 * dh, dual=dual,
+    )
+    b_in = b_chain if dual else a_chain
+    mb_in = mats_b if dual else mats_a
+    mats_a = mats_a.reshape(48, mats_a.shape[-2], cpo)
+    mb_in = mb_in.reshape(48, mb_in.shape[-2], mb_in.shape[-1])
+    return pl.pallas_call(
+        kern,
+        grid=(2 * dh, n_h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct(
+            (2 * dh + 2, (2 * hh + 2) * wpad, cpo), a_chain.dtype
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, n_slab, cpa), a_chain.dtype),
+            pltpu.VMEM((2, n_slab, cpb), a_chain.dtype),
+            pltpu.VMEM((2, rout, cpo), jnp.float32),
+            pltpu.VMEM((2 * rout, cpo), a_chain.dtype),
+            pltpu.VMEM((max(2 * rout, 2 * wpad), cpo), a_chain.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(a_chain, b_in, mats_a.astype(a_chain.dtype),
+      mb_in.astype(a_chain.dtype), bias2)
+
+
+def _pick_h_tile(hh, wpad, cin_total, cpo, vmem_budget=10 * 2**20):
+    for ht in sorted((t for t in range(1, min(hh, 16) + 1) if hh % t == 0),
+                     reverse=True):
+        rout = ht * wpad
+        need = (
+            2 * ((ht + 2) * wpad + 16) * cin_total * 2
+            + 2 * rout * cpo * 4
+            + 4 * rout * cpo * 2
+            + 2 * 2 * 12 * 128 * cpo * 2  # weight tensors
+        )
+        if need <= vmem_budget:
+            return ht
+    raise ValueError(f"no upconv H tile fits: H={hh}, wpad={wpad}")
