@@ -645,6 +645,209 @@ def _chain_kernel_ring(x_hbm, w_ref, b_ref, out_hbm, slab, acc, outbuf, zbuf,
 
 
 # ---------------------------------------------------------------------------
+# int8 chain conv: same ring-cached kernel with int8 operands on the MXU
+# (v5e: 394 int8 TOPS vs 197 bf16 TFLOP/s), int32 accumulation, and fused
+# dequant+requant — out_q = round(clamp(relu(acc * scale + bias), 0, 127)).
+# ``scale``/``bias`` carry the whole quantization algebra per output lane
+# (input scale folds into the weights per input channel at build time).
+# ---------------------------------------------------------------------------
+
+
+def _chain_kernel_ring_q(x_hbm, w_ref, s_ref, b_ref, out_hbm, slab, acc,
+                         outbuf, zbuf, sem_in, sem_out, sem_z, *, taps, rout,
+                         dma_rows, relu, wp, wpad, ht, n_h, hh, d):
+    """int8 variant of :func:`_chain_kernel_ring` (quantized serving path)."""
+    h = pl.program_id(0)
+    z = pl.program_id(1)
+    h0 = h * ht
+    row_src = h0 * wpad
+
+    @pl.when(jnp.logical_and(h == 0, z == 0))
+    def _init():
+        slab[:, 0:8, :] = jnp.zeros_like(slab[:, 0:8, :])
+        zbuf[:] = jnp.zeros_like(zbuf)
+
+    def _in_copy(q):
+        return pltpu.make_async_copy(
+            x_hbm.at[q, pl.ds(row_src, dma_rows)],
+            slab.at[q % 4, pl.ds(8, dma_rows)],
+            sem_in.at[q % 4],
+        )
+
+    @pl.when(z == 0)
+    def _prefill():
+        _in_copy(0).start()
+        _in_copy(1).start()
+        _in_copy(2).start()
+        _in_copy(0).wait()
+        _in_copy(1).wait()
+
+    @pl.when(z + 3 <= d + 1)
+    def _prefetch():
+        _in_copy(z + 3).start()
+
+    def _zero(plane, row0, nrows):
+        cp = pltpu.make_async_copy(
+            zbuf.at[pl.ds(0, nrows)],
+            out_hbm.at[plane, pl.ds(row0, nrows)], sem_z,
+        )
+        cp.start()
+        cp.wait()
+
+    @pl.when(h == 0)
+    def _top():
+        _zero(z + 1, 0, wpad)
+
+    @pl.when(h == n_h - 1)
+    def _bottom():
+        _zero(z + 1, (hh + 1) * wpad, wpad)
+
+    @pl.when(z == 0)
+    def _plane0():
+        _zero(0, h * rout, rout)
+
+    @pl.when(jnp.logical_and(z == 0, h == 0))
+    def _plane0_tail():
+        _zero(0, hh * wpad, 2 * wpad)
+
+    @pl.when(z == d - 1)
+    def _planeD():
+        _zero(d + 1, h * rout, rout)
+
+    @pl.when(jnp.logical_and(z == d - 1, h == 0))
+    def _planeD_tail():
+        _zero(d + 1, hh * wpad, 2 * wpad)
+
+    _in_copy(z + 2).wait()
+
+    par = (h * d + z) % 2
+
+    def _out_copy(p):
+        return pltpu.make_async_copy(
+            outbuf.at[p],
+            out_hbm.at[z + 1, pl.ds((1 + h0) * wpad, rout)],
+            sem_out.at[p],
+        )
+
+    @pl.when(h * d + z >= 2)
+    def _reclaim():
+        _out_copy(par).wait()
+
+    acc[0] = jnp.zeros_like(acc[0])
+    acc[1] = jnp.zeros_like(acc[1])
+    for i, (dz, off) in enumerate(taps):
+        xs = slab[(z + dz) % 4, pl.ds(off, rout), :]
+        dres = jax.lax.dot_general(
+            xs, w_ref[i], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        acc[i % 2] += dres
+    res = (acc[0] + acc[1]).astype(jnp.float32)
+    res = res * s_ref[0][None, :] + b_ref[0][None, :]
+    if relu:
+        res = jnp.maximum(res, 0.0)
+    res = jnp.minimum(res, 127.0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rout, 1), 0) % wpad
+    res = jnp.where(col < wp, res, 0.0)
+    outbuf[par] = jnp.round(res).astype(jnp.int8)
+    _out_copy(par).start()
+
+    @pl.when(jnp.logical_and(h == n_h - 1, z == d - 1))
+    def _drain():
+        _out_copy(par).wait()
+
+        @pl.when(n_h * d >= 2)
+        def _drain_other():
+            _out_copy(1 - par).wait()
+
+
+def conv3d_chain_q(
+    x: jax.Array,
+    packed_w: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    hh: int,
+    wp: int,
+    relu: bool = True,
+    h_tile: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Quantized chain conv: int8 in, int8 out, int32 MXU accumulation.
+
+    :param x: (D+2, (H+2)*wpad, Cin_p) chained layout, **int8**.
+    :param packed_w: (27, Cin_p, Cout_p) **int8** packed weights
+        (:func:`pack_weights` output quantized per output lane, with the
+        per-input-lane activation scale folded in before rounding).
+    :param scale: (1, Cout_p) f32 — dequant*requant factor per output lane.
+    :param bias: (1, Cout_p) f32 — BN-folded bias in requantized units.
+    :returns: (D+2, (H+2)*wpad, Cout_p) chained layout, int8, borders zeroed.
+    """
+    assert x.dtype == jnp.int8 and packed_w.dtype == jnp.int8
+    dp2, rows, cin_p = x.shape
+    d = dp2 - 2
+    wpad = rows // (hh + 2)
+    assert wpad * (hh + 2) == rows and wpad % 8 == 0, (wpad, hh, rows)
+    assert wp < wpad
+    cout_p = packed_w.shape[2]
+
+    if h_tile is None:
+        h_tile = _pick_chain_h_tile_q(hh, wpad, cin_p, cout_p)
+    assert hh % h_tile == 0
+    ht = h_tile
+    n_h = hh // ht
+    rout = ht * wpad
+    dma_rows = (ht + 2) * wpad
+    n_slab = dma_rows + 16
+
+    taps = tuple(
+        (dz, dy * wpad + t + 7)
+        for dz in range(3) for dy in range(3) for t in range(3)
+    )
+    kern = functools.partial(
+        _chain_kernel_ring_q, taps=taps, rout=rout, dma_rows=dma_rows,
+        relu=relu, wp=wp, wpad=wpad, ht=ht, n_h=n_h, hh=hh, d=d,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(n_h, d),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((dp2, rows, cout_p), jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((4, n_slab, cin_p), jnp.int8),
+            pltpu.VMEM((2, rout, cout_p), jnp.int32),
+            pltpu.VMEM((2, rout, cout_p), jnp.int8),
+            pltpu.VMEM((max(rout, 2 * wpad), cout_p), jnp.int8),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x, packed_w, scale, bias)
+
+
+def _pick_chain_h_tile_q(hh: int, wpad: int, cin_p: int, cout_p: int,
+                         vmem_budget: int = 12 * 2**20) -> int:
+    """Largest divisor of H whose int8 scratch set fits the VMEM budget."""
+    for ht in sorted((t for t in range(1, hh + 1) if hh % t == 0),
+                     reverse=True):
+        rout = ht * wpad
+        need = (
+            4 * ((ht + 2) * wpad + 16) * cin_p          # int8 slab ring
+            + 2 * rout * cout_p * 4                      # int32 acc x2
+            + 3 * rout * cout_p                          # int8 outbufs + zbuf
+        )
+        if need <= vmem_budget:
+            return ht
+    raise ValueError(f"no chain H tile fits: H={hh}, wpad={wpad}")
+
+
+# ---------------------------------------------------------------------------
 # MaxPool(2) chained layout -> chained layout (pack halves, W/pack grid and
 # wpad unchanged). W-pairs are adjacent packed lanes, H-pairs adjacent rows,
 # D-pairs adjacent planes; the input's zero borders pool to zero borders, so
