@@ -148,6 +148,28 @@ def measure_jax(n_iters: int = 10):
             sec, best_fn = sec_engine, engine_sum
     except Exception as e:  # engine is an optimization, never a bench blocker
         print(f"engine path failed: {type(e).__name__}: {e}", file=sys.stderr)
+
+    # Calibrated int8 engine (the quantized serving path; int8 MXU runs at
+    # 2x the bf16 rate on v5e). Mask parity vs the f32/bf16 paths is gated
+    # separately (tests/test_quant.py + tools/parity_check.py -> PARITY.json).
+    try:
+        from ctunet_tpu import engine_q
+
+        predict_q = engine_q.build_predict_q("UNetSP", variables, x[0])
+
+        @jax.jit
+        def engine_q_sum(variables_unused, x):
+            out = predict_q(x)
+            return sum(
+                jnp.sum(o.astype(jnp.float32)) for o in jax.tree.leaves(out)
+            )
+
+        sec_q = timed(engine_q_sum, "jax UNetSP (int8 engine)")
+        if sec_q < sec:
+            sec, best_fn = sec_q, engine_q_sum
+    except Exception as e:
+        print(f"int8 engine path failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
     print(
         f"jax UNetSP: best of {n_iters}: {sec * 1000:.1f}ms -> "
         f"{1.0 / sec:.2f} volumes/sec",

@@ -1,0 +1,368 @@
+"""int8 quantized serving engine: the chained U-Net forward on the int8 MXU.
+
+The v5e MXU runs int8 matmuls at 2x its bf16 rate (394 TOPS vs 197
+TFLOP/s); the chained-flat engine is MXU-bound at full resolution
+(BASELINE.md), so serving the whole U-Net body in int8 buys ~1.5x measured
+per conv. This module builds that path with post-training quantization:
+
+- **Calibration**: one eager bf16 forward over a representative volume via
+  :func:`ctunet_tpu.engine.build_predict` (``jit=False``), with the
+  ``halo_fn`` hook recording per-lane maxima of every produced chained
+  tensor. Scales are per CHANNEL (lane maxima reduced over packed
+  positions) — pooling max-combines packed positions of the same channel,
+  so positions must share a scale for int8 max to be exact.
+- **Symmetric per-channel quantization**: activations ``q = round(x / s)``
+  with ``s = max_c / 127`` (post-ReLU activations are >= 0; the halo zeros
+  map to int8 zero exactly). Weights fold the BN scale and the per-input-
+  channel activation scale, then quantize per output channel with
+  ``K = 127 / max|W_s|``; the kernels requantize in-epilogue as
+  ``round(clamp(relu(acc * scale + bias), 0, 127))`` where
+  ``scale = 1/(K * s_out)`` and ``bias = b_eff / s_out``.
+- The ones-channel convention survives quantization for free: the ones
+  channel records max 1 -> scale 1/127 -> q = 127 exactly, and the fused
+  requant bias regenerates it every conv.
+- The head dequantizes by folding the per-lane scales into its constant
+  block-diagonal matrices (no dequantized tensor is materialized); sigmoid/
+  softmax run in f32 as in the bf16 engine.
+
+Scope: the generic UNet family on fully-chainable shapes (every pool level
+even-sized with pack >= 2 — true for the reference's headline 224x304x304
+configuration). Anything else raises ValueError; callers fall back to the
+bf16 engine. Reference behavior being reproduced: the inference forward of
+``ctunet/pytorch/models.py:226-261`` (quantization itself has no reference
+counterpart — the reference serves f32 on CPU).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import engine
+from .ops.pallas import conv3d as pc
+from .ops.pallas import upconv as uc
+
+_EPS = 1e-8
+_Q1 = np.float32(1.0 / 127.0)  # scale of an exact ones channel
+
+
+def calibrate(
+    model_class: str,
+    variables: Dict[str, Any],
+    calib_volume: jax.Array,
+    interpret: bool = False,
+) -> List[np.ndarray]:
+    """Run one eager bf16 engine forward, recording per-lane maxima of
+    every produced chained tensor (in production order).
+
+    :param calib_volume: (D, H, W, Cin) representative input (NOT batched).
+    """
+    records: List[np.ndarray] = []
+
+    def rec(t):
+        records.append(
+            np.asarray(jnp.max(jnp.abs(t).astype(jnp.float32), axis=(0, 1)))
+        )
+        return t
+
+    fwd = engine.build_predict(
+        model_class, variables, compute_dtype=jnp.bfloat16,
+        interpret=interpret, halo_fn=rec, jit=False,
+    )
+    out = fwd(jnp.asarray(calib_volume))
+    jax.block_until_ready(out)
+    return records
+
+
+def _chan_scales(rec: np.ndarray, pack: int, cstride: int) -> np.ndarray:
+    """Per-channel scales from a per-lane max record: reduce the maxima over
+    packed positions, then s = max/127."""
+    lanes = rec[: pack * cstride].reshape(pack, cstride)
+    mx = np.maximum(lanes.max(axis=0), _EPS)
+    return (mx / 127.0).astype(np.float32)
+
+
+def _quant_conv(unit, s_in: np.ndarray, s_out: np.ndarray, pack: int):
+    """int8 packed weights + requant scale/bias for one Conv+BN+ReLU unit.
+
+    ``s_in``/``s_out`` are per-channel activation scales INCLUDING the ones
+    channels (the unit is packed with ones_in=True, ones_out=True)."""
+    w, scale, bias = unit._aug(True, True)  # (3,3,3,Cin+1,Cout+1), BN fold
+    w_eff = w * scale[None, None, None, None, :]
+    w_s = w_eff * s_in.astype(np.float32)[None, None, None, :, None]
+    amax = np.abs(w_s).max(axis=(0, 1, 2, 3))
+    k = np.where(amax > 0, 127.0 / np.maximum(amax, _EPS), 1.0)
+    q_w = np.clip(np.round(w_s * k[None, None, None, None, :]), -127, 127)
+    scale_ref = (1.0 / (k * s_out)).astype(np.float32)
+    bias_ref = (bias / s_out).astype(np.float32)
+    pw8 = jnp.asarray(pc.pack_weights(q_w, pack).astype(np.int8))
+    ps = jnp.asarray(pc.pack_bias(scale_ref, pack))
+    pb = jnp.asarray(pc.pack_bias(bias_ref, pack))
+    return pw8, ps, pb
+
+
+def _quant_upconv(up_raw, unit0, ca: Optional[int], s_a: np.ndarray,
+                  s_b: Optional[np.ndarray], s_out: np.ndarray, pa: int):
+    """int8 composite upsample+conv matrices (mirrors
+    ``engine._get_upconv_mats`` with quantization).
+
+    :param ca: real channels of operand a (None = single-operand level 0).
+    :param s_a: per-channel scales of operand a INCLUDING its ones channel.
+    :param s_b: scales of operand b including its ones channel, or None.
+    :param s_out: per-channel scales of the output (incl. ones).
+    """
+    kk, bb = up_raw
+    bcol = np.broadcast_to(
+        np.asarray(bb, np.float32)[None, None, None, :, None],
+        kk.shape[:4] + (1,),
+    ).copy()
+    if ca is None:
+        kT_aug = np.concatenate([kk, bcol], -1)
+        ci_split = None
+        s_in = s_a
+    else:
+        zcol = np.zeros_like(bcol)
+        kT_aug = np.concatenate(
+            [kk[..., :ca], bcol, kk[..., ca:], zcol], -1
+        )
+        ci_split = ca + 1
+        s_in = np.concatenate([s_a, s_b])
+    w0a, s0a, b0a = unit0._aug(False, True)
+    r = uc.composite_response(kT_aug, w0a, s0a)
+    r_s = r * s_in.astype(np.float32)[None, None, None, :, None]
+    amax = np.abs(r_s).max(axis=(0, 1, 2, 3))
+    k = np.where(amax > 0, 127.0 / np.maximum(amax, _EPS), 1.0)
+    r_q = np.clip(np.round(r_s * k[None, None, None, None, :]), -127, 127)
+    ma, mb = uc.build_upconv_matrices(r_q, pa, ci_split)
+    scale_ref = (1.0 / (k * s_out)).astype(np.float32)
+    bias_ref = (b0a / s_out).astype(np.float32)
+    return (
+        jnp.asarray(ma.astype(np.int8)),
+        None if mb is None else jnp.asarray(mb.astype(np.int8)),
+        jnp.asarray(uc.pack_out_bias(scale_ref, 2 * pa)),
+        jnp.asarray(uc.pack_out_bias(bias_ref, 2 * pa)),
+    )
+
+
+def build_predict_q(
+    model_class: str,
+    variables: Dict[str, Any],
+    calib_volume: jax.Array,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    jit: bool = True,
+):
+    """Build a jitted int8 ``predict(images)`` for (B, D, H, W, C) inputs.
+
+    Calibrates on ``calib_volume`` ((D, H, W, C), same shape as serving
+    inputs), then quantizes every chained kernel. Raises ``ValueError``
+    when the graph leaves the fully-chainable regime (odd level sizes or
+    exhausted packs) — callers fall back to ``engine.build_predict``.
+    """
+    cfg = engine.ENGINE_CONFIGS[model_class]
+    if cfg["family"] != "generic":
+        raise ValueError("int8 engine supports the generic UNet family only")
+    n_blocks = cfg["n_blocks"]
+    head = cfg["head"]
+    params = variables["params"]["unet"]
+    stats = variables["batch_stats"]["unet"]
+
+    d_units = [
+        [engine._FusedUnit(params[f"d{i}"][f"unit{j}"],
+                           stats[f"d{i}"][f"unit{j}"], interpret)
+         for j in range(2)]
+        for i in range(n_blocks)
+    ]
+    u_units = [
+        [engine._FusedUnit(params[f"u{i}"][f"unit{j}"],
+                           stats[f"u{i}"][f"unit{j}"], interpret)
+         for j in range(2)]
+        for i in range(n_blocks)
+    ]
+    up_raw = [
+        (engine._np(params[f"u{i}"]["upconv"]["kernel"]),
+         engine._np(params[f"u{i}"]["upconv"]["bias"]))
+        for i in range(n_blocks)
+    ]
+    lc_k = engine._np(params["last_conv"]["kernel"])[0, 0, 0]  # (Ca+Cb, O)
+    lc_b = engine._np(params["last_conv"]["bias"])
+
+    d, hh0, ww, cin0 = (int(s) for s in calib_volume.shape)
+
+    # ---- static plan: packs/shapes per step (raises if unsupported) -----
+    p0 = pc.choose_pack(ww, cin0 + 1)
+    plan_enc = []
+    dd, dh, p = d, hh0, p0
+    for i in range(n_blocks):
+        if not (p >= 2 and dd % 2 == 0 and dh % 2 == 0):
+            raise ValueError(
+                f"int8 engine needs chainable pooling at level {i} "
+                f"(pack={p}, D={dd}, H={dh}); falling back to bf16"
+            )
+        plan_enc.append((p, dh))
+        dd, dh, p = dd // 2, dh // 2, p // 2
+
+    # ---- calibration ----------------------------------------------------
+    records = calibrate(model_class, variables, calib_volume, interpret)
+    cursor = {"i": 0}
+
+    def next_rec() -> np.ndarray:
+        rec = records[cursor["i"]]
+        cursor["i"] += 1
+        return rec
+
+    # entry scales: data channels calibrated from the input itself
+    rec0 = next_rec()
+    s_entry = np.concatenate(
+        [_chan_scales(rec0, p0, cin0 + 1)[:cin0], [_Q1]]
+    ).astype(np.float32)
+
+    # encoder: quantize convs, track per-channel scales through pools
+    enc_q = []
+    skips_s = []
+    s_cur = s_entry
+    for i in range(n_blocks):
+        p, _ = plan_enc[i]
+        c0 = d_units[i][0].cout + 1
+        s_u0 = _chan_scales(next_rec(), p, c0)
+        s_u0[-1] = _Q1
+        q0 = _quant_conv(d_units[i][0], s_cur, s_u0, p)
+        c1 = d_units[i][1].cout + 1
+        s_u1 = _chan_scales(next_rec(), p, c1)
+        s_u1[-1] = _Q1
+        q1 = _quant_conv(d_units[i][1], s_u0, s_u1, p)
+        enc_q.append((q0, q1))
+        skips_s.append(s_u1)
+        next_rec()  # pool output: scales unchanged
+        s_cur = s_u1
+
+    # decoder: fused upsample+conv then second unit, all chainable
+    dec_q = []
+    s_a = s_cur  # bottleneck = pooled d{n-1}.unit1
+    pa = plan_enc[-1][0] // 2
+    for idx in range(n_blocks):
+        i = n_blocks - 1 - idx
+        ca = None if idx == 0 else u_units[idx - 1][1].cout
+        s_b = None if idx == 0 else skips_s[i + 1]
+        c_up = u_units[idx][0].cout + 1
+        s_up = _chan_scales(next_rec(), 2 * pa, c_up)
+        s_up[-1] = _Q1
+        qu = _quant_upconv(
+            up_raw[idx], u_units[idx][0], ca, s_a, s_b, s_up, pa
+        )
+        pa *= 2
+        c1 = u_units[idx][1].cout + 1
+        s_u1 = _chan_scales(next_rec(), pa, c1)
+        s_u1[-1] = _Q1
+        q1 = _quant_conv(u_units[idx][1], s_up, s_u1, pa)
+        dec_q.append((qu, q1))
+        s_a = s_u1
+    assert cursor["i"] == len(records), (cursor["i"], len(records))
+
+    # ---- head: fold dequant scales into the block-diag matrices ---------
+    ca_f = u_units[-1][1].cout
+    cb_f = d_units[0][1].cout
+    pf = plan_enc[0][0]
+    s_lane_a = np.tile(s_a, pf)
+    s_lane_b = np.tile(skips_s[0], pf)
+    eye = np.eye(pf, dtype=np.float32)
+    zrow = np.zeros((1, lc_k.shape[1]), np.float32)
+    m_a = np.kron(eye, np.concatenate([lc_k[:ca_f], zrow]))
+    m_b = np.kron(eye, np.concatenate([lc_k[ca_f: ca_f + cb_f], zrow]))
+    m_a = m_a * s_lane_a[:, None]
+    m_b = m_b * s_lane_b[:, None]
+    bias3 = np.tile(lc_b, pf)
+    m_full = np.kron(eye, np.asarray(
+        [[1.0, 0.0], [0.0, 1.0], [0.0, 1.0]], np.float32))
+    m_flap = np.kron(eye, np.asarray(
+        [[0.0, 0.0], [-1.0, 1.0], [0.0, 0.0]], np.float32))
+    b_flap = np.tile(np.asarray([1.0, 0.0], np.float32), pf)
+    head_c = tuple(
+        jnp.asarray(m) for m in (m_a, m_b, bias3, m_full, m_flap, b_flap)
+    )
+
+    inv_s_entry = jnp.asarray(
+        np.concatenate([1.0 / s_entry[:cin0], [0.0]]).astype(np.float32)
+    )
+
+    def _head_q(apk, bpk, hh: int, ww_out: int):
+        m_a, m_b, bias3, m_full, m_flap, b_flap = head_c
+        dt = jnp.float32
+        lc = (
+            apk.astype(dt) @ m_a.astype(dt)
+            + bpk.astype(dt) @ m_b.astype(dt)
+            + bias3.astype(dt)
+        )
+        out = jax.nn.sigmoid(lc)
+        if head is None:
+            d_, h_, wp_ = out.shape[:3]
+            return out.astype(compute_dtype).reshape(d_, h_, ww_out, 3)
+        full = out @ m_full
+        fl = out @ m_flap + b_flap
+        d_, h_, wp_ = full.shape[:3]
+        full = full.reshape(d_, h_, ww_out, 2)
+        fl = fl.reshape(d_, h_, ww_out, 2)
+        if head == "double_softmax":
+            return jax.nn.softmax(full, -1), jax.nn.softmax(fl, -1)
+        return full.astype(compute_dtype), fl.astype(compute_dtype)
+
+    def forward_one(x: jax.Array):
+        dd_, hh, ww_, _ = x.shape
+        # quantize the input (binary skull/atlas quantize exactly); the
+        # appended ones channel is the constant q=127 lane
+        q = jnp.round(
+            jnp.clip(x.astype(jnp.float32) * inv_s_entry[:cin0], -127, 127)
+        )
+        q = jnp.concatenate(
+            [q, jnp.full_like(q[..., :1], 127.0)], -1
+        ).astype(jnp.int8)
+        p = p0
+        xc = pc.to_chain(q.reshape(dd_, hh, ww_ // p, p * (cin0 + 1)), p)
+        dh_, dwp = hh, ww_ // p
+        skips = []
+        for i in range(n_blocks):
+            (pw0, ps0, pb0), (pw1, ps1, pb1) = enc_q[i]
+            xc = pc.conv3d_chain_q(xc, pw0, ps0, pb0, dh_, dwp,
+                                   interpret=interpret)
+            xc = pc.conv3d_chain_q(xc, pw1, ps1, pb1, dh_, dwp,
+                                   interpret=interpret)
+            skips.append((xc, p, d_units[i][1].cout, dh_, dwp))
+            xc = pc.maxpool2_chain(
+                xc, dh_, dwp, p, d_units[i][1].cout + 1,
+                interpret=interpret,
+            )
+            p //= 2
+            dh_ //= 2
+        a_chain, ap = xc, p
+        b = None
+        for idx in range(n_blocks):
+            i = n_blocks - 1 - idx
+            (ma, mb, s2, b2), (pw1, ps1, pb1) = dec_q[idx]
+            a_chain = uc.upconv_fused_chain(
+                a_chain, ma, b2, dh_, dwp,
+                b_chain=None if b is None else b[0],
+                mats_b=mb, scale2=s2, interpret=interpret,
+            )
+            ap *= 2
+            dh_ *= 2
+            a_chain = pc.conv3d_chain_q(a_chain, pw1, ps1, pb1, dh_, dwp,
+                                        interpret=interpret)
+            b = skips[i]
+        apk = pc.from_chain(
+            a_chain, dh_, dwp, ap * (u_units[-1][1].cout + 1)
+        )
+        bpk = pc.from_chain(b[0], b[3], b[4], b[1] * (b[2] + 1))
+        return _head_q(apk, bpk, dh_, dwp * ap)
+
+    if not jit:
+        return forward_one
+
+    @jax.jit
+    def predict(images: jax.Array):
+        outs = [forward_one(images[i]) for i in range(images.shape[0])]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+
+    return predict

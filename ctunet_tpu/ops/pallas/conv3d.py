@@ -905,7 +905,10 @@ def _pool_kernel(x_hbm, out_hbm, slab, outbuf, zbuf, sem_in, sem_out, sem_z,
 
     cp_in.wait()
 
-    m = jnp.maximum(slab[0], slab[1])  # D-pair
+    # int8 vector max is unsupported by Mosaic (arith.maxsi on vector<i8>);
+    # widen to int32 for the reductions — exact, and the pool is DMA-bound.
+    cdt = jnp.int32 if slab.dtype == jnp.int8 else slab.dtype
+    m = jnp.maximum(slab[0].astype(cdt), slab[1].astype(cdt))  # D-pair
     outbuf[:] = jnp.zeros_like(outbuf)
     half = pack // 2
     for yl in range(ht):  # H-pair (adjacent rows)

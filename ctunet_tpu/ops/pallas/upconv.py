@@ -152,10 +152,10 @@ def pack_out_bias(bias: np.ndarray, pout: int) -> np.ndarray:
     return out
 
 
-def _upconv_kernel(a_hbm, b_hbm, ma_ref, mb_ref, bias_ref, out_hbm,
+def _upconv_kernel(a_hbm, b_hbm, ma_ref, mb_ref, s_ref, bias_ref, out_hbm,
                    slab_a, slab_b, acc, outbuf, zbuf, sem_a, sem_b,
                    sem_out, sem_z, *, rout, dma_rows, wp, wpad, ht, n_h,
-                   hh2, d2, dual):
+                   hh2, d2, dual, quant):
     z = pl.program_id(0)   # out plane in [0, 2*Dh)
     h = pl.program_id(1)
     h0 = h * ht
@@ -217,9 +217,10 @@ def _upconv_kernel(a_hbm, b_hbm, ma_ref, mb_ref, bias_ref, out_hbm,
         cp_b.wait()
 
     alpha = z % 2  # out-plane parity selects the weight set (traced)
+    acc_dt = jnp.int32 if quant else jnp.float32
     col = jax.lax.broadcasted_iota(jnp.int32, (rout, 1), 0) % wpad
     for beta in range(2):
-        acc0 = jnp.zeros((rout, acc.shape[-1]), jnp.float32)
+        acc0 = jnp.zeros((rout, acc.shape[-1]), acc_dt)
         for dz in range(2):
             for dy in range(2):
                 for t in range(3):
@@ -230,16 +231,21 @@ def _upconv_kernel(a_hbm, b_hbm, ma_ref, mb_ref, bias_ref, out_hbm,
                     acc0 = acc0 + jax.lax.dot_general(
                         xa, ma_ref[idx],
                         (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
+                        preferred_element_type=acc_dt,
                     )
                     if dual:
                         xb = slab_b[dz, pl.ds(off, rout), :]
                         acc0 = acc0 + jax.lax.dot_general(
                             xb, mb_ref[idx],
                             (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
+                            preferred_element_type=acc_dt,
                         )
-        res = jnp.maximum(acc0 + bias_ref[0][None, :], 0.0)
+        if quant:
+            res = acc0.astype(jnp.float32) * s_ref[0][None, :]
+            res = jnp.maximum(res + bias_ref[0][None, :], 0.0)
+            res = jnp.round(jnp.minimum(res, 127.0))
+        else:
+            res = jnp.maximum(acc0 + bias_ref[0][None, :], 0.0)
         res = jnp.where(col < wp, res, 0.0)
         acc[beta] = res
     # interleave (vl, beta, x') -> out rows (2vl+beta)*wpad + x'
@@ -267,6 +273,7 @@ def upconv_fused_chain(
     wp: int,
     b_chain: Optional[jax.Array] = None,
     mats_b: Optional[jax.Array] = None,
+    scale2: Optional[jax.Array] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused ConvT(k2,s2)+Conv3(k3)+bias+ReLU, chain in -> chain out.
@@ -275,6 +282,9 @@ def upconv_fused_chain(
         operand, INCLUDING the ones channel carrying the convT bias).
     :param mats_a: (2, 2, 12, Cpa, Cpo) from :func:`build_upconv_matrices`.
     :param bias2: (1, Cpo) conv bias (BN-folded) tiled per packed position.
+    :param scale2: (1, Cpo) f32 — int8 serving path: operands/matrices are
+        int8, MXU accumulates int32, and the output is requantized as
+        ``round(clamp(relu(acc * scale2 + bias2), 0, 127))`` int8.
     :returns: (2Dh+2, (2Hh+2)*wpad, Cpo) chain at pack ``2*pin``.
     """
     dh2, rows, cpa = a_chain.shape
@@ -284,6 +294,9 @@ def upconv_fused_chain(
     cpo = mats_a.shape[-1]
     dual = b_chain is not None
     cpb = b_chain.shape[-1] if dual else cpa
+    quant = scale2 is not None
+    if quant:
+        assert a_chain.dtype == jnp.int8 and mats_a.dtype == jnp.int8
 
     ht = _pick_h_tile(hh, wpad, cpa + (cpb if dual else 0), cpo)
     n_h = hh // ht
@@ -293,18 +306,22 @@ def upconv_fused_chain(
 
     kern = functools.partial(
         _upconv_kernel, rout=rout, dma_rows=dma_rows, wp=wp, wpad=wpad,
-        ht=ht, n_h=n_h, hh2=2 * hh, d2=2 * dh, dual=dual,
+        ht=ht, n_h=n_h, hh2=2 * hh, d2=2 * dh, dual=dual, quant=quant,
     )
     b_in = b_chain if dual else a_chain
     mb_in = mats_b if dual else mats_a
     mats_a = mats_a.reshape(48, mats_a.shape[-2], cpo)
     mb_in = mb_in.reshape(48, mb_in.shape[-2], mb_in.shape[-1])
+    s_in = (
+        scale2 if quant else jnp.ones((1, cpo), jnp.float32)
+    )
     return pl.pallas_call(
         kern,
         grid=(2 * dh, n_h),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -325,8 +342,8 @@ def upconv_fused_chain(
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(a_chain, b_in, mats_a.astype(a_chain.dtype),
-      mb_in.astype(a_chain.dtype), bias2)
+    )(a_chain, b_in, mats_a if quant else mats_a.astype(a_chain.dtype),
+      mb_in if quant else mb_in.astype(a_chain.dtype), s_in, bias2)
 
 
 def _pick_h_tile(hh, wpad, cin_total, cpo, vmem_budget=10 * 2**20):

@@ -78,6 +78,141 @@ def test_chain_q_borders_zero(rng):
     assert (grid[:, :, wp:] == 0).all()
 
 
+def test_int8_engine_close_to_bf16_engine(rng):
+    """End-to-end: calibrated int8 engine vs the f32 engine on UNetSP.
+
+    Quantization noise must stay small both in probabilities and — the
+    serving contract — in the argmax masks."""
+    from ctunet_tpu import engine, engine_q
+    from ctunet_tpu.models import build_model
+
+    shape = (16, 16, 32)
+    m = build_model("UNetSP", compute_dtype="float32", use_checkpoint=False)
+    x0 = jnp.zeros((1, *shape, 2), jnp.float32)
+    vs = jax.jit(m.init, static_argnums=(2,))(jax.random.key(0), x0, False)
+    stats = jax.tree.map(
+        lambda s: s * (1.0 + 0.1 * jax.random.uniform(
+            jax.random.key(1), s.shape
+        )) + 0.01,
+        vs["batch_stats"],
+    )
+    vs = {"params": vs["params"], "batch_stats": stats}
+
+    x = jnp.asarray((rng.random((1, *shape, 2)) > 0.5).astype(np.float32))
+    want = engine.build_predict(
+        "UNetSP", vs, compute_dtype=jnp.float32, interpret=True
+    )(x)
+    predict_q = engine_q.build_predict_q(
+        "UNetSP", vs, x[0], compute_dtype=jnp.float32, interpret=True
+    )
+    got = predict_q(x)
+    for g, w in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        g = np.asarray(g, np.float32)
+        w = np.asarray(w, np.float32)
+        assert float(w.std()) > 1e-3  # non-vacuous
+        assert np.abs(g - w).mean() < 0.02, np.abs(g - w).mean()
+        # Random (untrained) weights keep sigmoids near 0.5 where argmax is
+        # a coin flip on quantization noise — 99% is strong agreement here;
+        # TRAINED-checkpoint mask parity is gated in tools/parity_check.py.
+        agree = (g.argmax(-1) == w.argmax(-1)).mean()
+        assert agree > 0.99, agree
+
+
+def test_int8_engine_rejects_unchainable():
+    """Pack exhaustion must raise (callers fall back to the bf16 engine):
+    UNetSPSmall has 5 levels, so a pack-16 start hits pack 1 at level 4."""
+    from ctunet_tpu import engine_q
+    from ctunet_tpu.models import build_model
+
+    shape = (32, 32, 32)
+    m = build_model(
+        "UNetSPSmall", compute_dtype="float32", use_checkpoint=False
+    )
+    x0 = jnp.zeros((1, *shape, 2), jnp.float32)
+    vs = jax.jit(m.init, static_argnums=(2,))(jax.random.key(0), x0, False)
+    with pytest.raises(ValueError, match="chainable"):
+        engine_q.build_predict_q(
+            "UNetSPSmall", vs, x0[0], compute_dtype=jnp.float32,
+            interpret=True,
+        )
+
+
+def _apply_R(x, R):
+    """Direct application of a composite response: out[v] = sum_u R[v-2u] x[u]
+    (r = v - 2u in [-1, 2]^3; float math, exact for integer operands)."""
+    dh, hh, wh, cin = x.shape
+    co = R.shape[-1]
+    out = np.zeros((2 * dh, 2 * hh, 2 * wh, co), np.float64)
+    for rz in range(-1, 3):
+        for ry in range(-1, 3):
+            for rx in range(-1, 3):
+                m = R[rz + 1, ry + 1, rx + 1].astype(np.float64)
+                for vz in range(2 * dh):
+                    uz, mz = divmod(vz - rz, 2)
+                    if mz or not (0 <= uz < dh):
+                        continue
+                    for vy in range(2 * hh):
+                        uy, my = divmod(vy - ry, 2)
+                        if my or not (0 <= uy < hh):
+                            continue
+                        vx = np.arange(2 * wh)
+                        ux, mx = np.divmod(vx - rx, 2)
+                        ok = (mx == 0) & (ux >= 0) & (ux < wh)
+                        out[vz, vy, vx[ok]] += (
+                            x[uz, uy, ux[ok]].astype(np.float64) @ m
+                        )
+    return out
+
+
+@pytest.mark.parametrize("dual", [False, True])
+def test_upconv_q_matches_integer_emulation(rng, dual):
+    from ctunet_tpu.ops.pallas import upconv as uc
+
+    Dh, Hh, Wh = 4, 4, 16
+    Ca, Cb, Co = 3, 2, 3
+    pin = 4
+    wp = Wh // pin
+
+    qa = rng.integers(0, 60, (Dh, Hh, Wh, Ca)).astype(np.int8)
+    qb = rng.integers(0, 60, (Dh, Hh, Wh, Cb)).astype(np.int8)
+    cin = Ca + 1 + (Cb if dual else 0)  # + ones channel in operand a
+    Rq = rng.integers(-25, 25, (4, 4, 4, cin, Co)).astype(np.float32)
+    scale = (rng.random(Co) * 1e-3 + 1e-4).astype(np.float32)
+    bias = (rng.standard_normal(Co) * 2).astype(np.float32)
+
+    ci_split = Ca + 1 if dual else None
+    ma, mb = uc.build_upconv_matrices(Rq, pin, ci_split=ci_split)
+    s2 = jnp.asarray(uc.pack_out_bias(scale, 2 * pin))
+    b2 = jnp.asarray(uc.pack_out_bias(bias, 2 * pin))
+
+    a1 = np.concatenate(
+        [qa, np.full((Dh, Hh, Wh, 1), 127, np.int8)], -1
+    )
+    ac = pc.to_chain(
+        jnp.asarray(a1.reshape(Dh, Hh, wp, pin * (Ca + 1))), pin
+    )
+    bc = (
+        pc.to_chain(jnp.asarray(qb.reshape(Dh, Hh, wp, pin * Cb)), pin)
+        if dual else None
+    )
+    out = uc.upconv_fused_chain(
+        ac, jnp.asarray(ma.astype(np.int8)), b2, Hh, wp,
+        b_chain=bc,
+        mats_b=None if mb is None else jnp.asarray(mb.astype(np.int8)),
+        scale2=s2, interpret=True,
+    )
+    got = np.asarray(pc.unpack_output(
+        pc.from_chain(out, 2 * Hh, wp, 2 * pin * Co), 2 * pin, Co
+    ))
+
+    x_full = np.concatenate([a1] + ([qb] if dual else []), -1)
+    acc = _apply_R(x_full, Rq)
+    res = acc * scale + bias
+    res = np.minimum(np.maximum(res, 0.0), 127.0)
+    want = np.asarray(jnp.round(jnp.asarray(res)), np.int8)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_chain_q_chains_into_itself(rng):
     """conv_q -> conv_q with no glue: second conv sees correct halos."""
     pack, c = 2, 4

@@ -108,6 +108,26 @@ def main():
     outs = predict(jnp.asarray(x_all, jnp.bfloat16))
     ours_sk = np.argmax(np.asarray(outs[0], np.float32), -1)
     ours_fl = np.argmax(np.asarray(outs[1], np.float32), -1)
+
+    # --- int8 quantized engine, calibrated on a DISJOINT broken skull ---
+    from ctunet_tpu import engine_q
+
+    calib_full = spherical_shell(SHAPE, seed=777).astype("float32")
+    calib_broken, _ = synthesis.skull_random_hole(
+        jax.random.key(9999), jnp.asarray(calib_full)
+    )
+    calib = jnp.asarray(
+        np.stack([np.asarray(calib_broken, np.float32), atlas], -1),
+        jnp.bfloat16,
+    )
+    q_sk = q_fl = None
+    try:
+        predict_q = engine_q.build_predict_q("UNetSP", variables, calib)
+        outs_q = predict_q(jnp.asarray(x_all, jnp.bfloat16))
+        q_sk = np.argmax(np.asarray(outs_q[0], np.float32), -1)
+        q_fl = np.argmax(np.asarray(outs_q[1], np.float32), -1)
+    except Exception as e:
+        print(f"int8 engine skipped: {type(e).__name__}: {e}", flush=True)
     # and a true-f32 forward (f32-built model, same params) for a
     # dtype-insensitivity reference against the torch f32 run
     from ctunet_tpu.models import build_model
@@ -161,6 +181,13 @@ def main():
         "dice_fl_engine_bf16": round(dice(ours_fl, ref_fl), 6),
         "dice_sk_xla_f32": round(dice(ours32_sk, ref_sk), 6),
         "dice_fl_xla_f32": round(dice(ours32_fl, ref_fl), 6),
+        **(
+            {
+                "dice_sk_engine_int8": round(dice(q_sk, ref_sk), 6),
+                "dice_fl_engine_int8": round(dice(q_fl, ref_fl), 6),
+            }
+            if q_sk is not None else {}
+        ),
         "foreground_voxels_sk": int((ref_sk > 0).sum()),
         "foreground_voxels_fl": int((ref_fl > 0).sum()),
     }
