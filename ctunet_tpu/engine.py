@@ -463,6 +463,11 @@ def build_predict(
         x = jnp.concatenate([x, jnp.ones_like(x[..., :1])], -1)
 
         # --- encoder (chained) ---
+        # Pack 16 is the sweet spot: pack 32 was measured 1.65x SLOWER at
+        # 224x512x512 (lane padding: i_size=4 channel counts round up to
+        # two 128-lane blocks in both matmul operands at pack 32 —
+        # BASELINE.md round 4). 5-block models instead run the exhausted
+        # tail at pack 1 with one standard-space pool and a decoder repack.
         p = pc.choose_pack(ww, cin0 + 1)
         xp = x.reshape(d, hh, ww // p, p * (cin0 + 1))
         skips = []
@@ -495,6 +500,21 @@ def build_predict(
         for idx in range(n_blocks):
             i = n_blocks - 1 - idx
             sk = skips[i]
+            if (
+                b is not None
+                and (b[1] != ap or b[4] != dwp)
+                and b[3] == dh
+                and b[1] * b[4] == ap * dwp
+            ):
+                # Same W, different (pack, wp) split — the pack-exhausted
+                # tail's standard-space pool halved wp, so the upconv's
+                # pack doubling overshot the skips' ladder by 2x. One
+                # contiguous repack re-aligns; every later level then
+                # rides the skips' efficient packs.
+                a_chain = pc.repack_chain(
+                    a_chain, dh, dwp, ap, a_cout + 1, b[1]
+                )
+                ap, dwp = b[1], b[4]
             chainable = b is None or (
                 b[1] == ap and b[4] == dwp and b[3] == dh
             )

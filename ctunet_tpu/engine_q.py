@@ -25,12 +25,14 @@ per conv. This module builds that path with post-training quantization:
   block-diagonal matrices (no dequantized tensor is materialized); sigmoid/
   softmax run in f32 as in the bf16 engine.
 
-Scope: the generic UNet family on fully-chainable shapes (every pool level
-even-sized with pack >= 2 — true for the reference's headline 224x304x304
-configuration). Anything else raises ValueError; callers fall back to the
-bf16 engine. Reference behavior being reproduced: the inference forward of
-``ctunet/pytorch/models.py:226-261`` (quantization itself has no reference
-counterpart — the reference serves f32 on CPU).
+Scope: the generic UNet family on even-sized pool levels, including the
+pack-exhausted tail of 5-block models (one standard-space int8 pool + a
+decoder repack — same branch structure as the bf16 engine, so e.g.
+UNetSPSmall at 224x512x512 serves fully int8). Anything else raises
+ValueError; callers fall back to the bf16 engine. Reference behavior being
+reproduced: the inference forward of ``ctunet/pytorch/models.py:226-261``
+(quantization itself has no reference counterpart — the reference serves
+f32 on CPU).
 """
 
 from __future__ import annotations
@@ -193,17 +195,52 @@ def build_predict_q(
     d, hh0, ww, cin0 = (int(s) for s in calib_volume.shape)
 
     # ---- static plan: packs/shapes per step (raises if unsupported) -----
+    # Mirrors the bf16 engine's branch structure: chain pooling while the
+    # pack allows (p >= 2), ONE standard-space pool per pack exhaustion
+    # (p == 1, wp halves), and a decoder repack that re-aligns the pack
+    # ladder with the skips (5-block models, e.g. UNetSPSmall at 512).
     p0 = pc.choose_pack(ww, cin0 + 1)
-    plan_enc = []
-    dd, dh, p = d, hh0, p0
+    plan_enc = []  # per level: (pack, H, wp, pool kind)
+    dd, dh, p, wp = d, hh0, p0, ww // p0
     for i in range(n_blocks):
-        if not (p >= 2 and dd % 2 == 0 and dh % 2 == 0):
+        if not (dd % 2 == 0 and dh % 2 == 0):
             raise ValueError(
                 f"int8 engine needs chainable pooling at level {i} "
-                f"(pack={p}, D={dd}, H={dh}); falling back to bf16"
+                f"(D={dd}, H={dh}); falling back to bf16"
             )
-        plan_enc.append((p, dh))
-        dd, dh, p = dd // 2, dh // 2, p // 2
+        if p >= 2:
+            plan_enc.append((p, dh, wp, "chain"))
+            p //= 2
+        elif wp % 2 == 0:
+            plan_enc.append((p, dh, wp, "std"))
+            wp //= 2
+        else:
+            raise ValueError(
+                f"int8 engine needs chainable pooling at level {i} "
+                f"(pack={p}, wp={wp}); falling back to bf16"
+            )
+        dd, dh = dd // 2, dh // 2
+
+    # decoder plan: (repack target (pack, wp) or None, pack at upconv)
+    plan_dec = []
+    pa, dh_dec, wp_dec = p, dh, wp
+    for idx in range(n_blocks):
+        i = n_blocks - 1 - idx
+        repack_to = None
+        if idx > 0:
+            bp, bdh, bwp = plan_enc[i + 1][:3]
+            if (bp, bwp) != (pa, wp_dec):
+                if bdh == dh_dec and bp * bwp == pa * wp_dec:
+                    repack_to = (bp, bwp)
+                    pa, wp_dec = bp, bwp
+                else:
+                    raise ValueError(
+                        f"int8 engine: decoder/skip layout mismatch at "
+                        f"idx {idx}; falling back to bf16"
+                    )
+        plan_dec.append((repack_to, pa))
+        pa *= 2
+        dh_dec *= 2
 
     # ---- calibration ----------------------------------------------------
     records = calibrate(model_class, variables, calib_volume, interpret)
@@ -225,7 +262,7 @@ def build_predict_q(
     skips_s = []
     s_cur = s_entry
     for i in range(n_blocks):
-        p, _ = plan_enc[i]
+        p = plan_enc[i][0]
         c0 = d_units[i][0].cout + 1
         s_u0 = _chan_scales(next_rec(), p, c0)
         s_u0[-1] = _Q1
@@ -239,12 +276,14 @@ def build_predict_q(
         next_rec()  # pool output: scales unchanged
         s_cur = s_u1
 
-    # decoder: fused upsample+conv then second unit, all chainable
+    # decoder: fused upsample+conv then second unit; per-channel scales
+    # are invariant to repacks (packed positions of a channel share one
+    # scale by construction), so only the pack bookkeeping follows plan_dec
     dec_q = []
     s_a = s_cur  # bottleneck = pooled d{n-1}.unit1
-    pa = plan_enc[-1][0] // 2
     for idx in range(n_blocks):
         i = n_blocks - 1 - idx
+        pa = plan_dec[idx][1]
         ca = None if idx == 0 else u_units[idx - 1][1].cout
         s_b = None if idx == 0 else skips_s[i + 1]
         c_up = u_units[idx][0].cout + 1
@@ -253,11 +292,10 @@ def build_predict_q(
         qu = _quant_upconv(
             up_raw[idx], u_units[idx][0], ca, s_a, s_b, s_up, pa
         )
-        pa *= 2
         c1 = u_units[idx][1].cout + 1
-        s_u1 = _chan_scales(next_rec(), pa, c1)
+        s_u1 = _chan_scales(next_rec(), 2 * pa, c1)
         s_u1[-1] = _Q1
-        q1 = _quant_conv(u_units[idx][1], s_up, s_u1, pa)
+        q1 = _quant_conv(u_units[idx][1], s_up, s_u1, 2 * pa)
         dec_q.append((qu, q1))
         s_a = s_u1
     assert cursor["i"] == len(records), (cursor["i"], len(records))
@@ -329,17 +367,36 @@ def build_predict_q(
                                    interpret=interpret)
             xc = pc.conv3d_chain_q(xc, pw1, ps1, pb1, dh_, dwp,
                                    interpret=interpret)
-            skips.append((xc, p, d_units[i][1].cout, dh_, dwp))
-            xc = pc.maxpool2_chain(
-                xc, dh_, dwp, p, d_units[i][1].cout + 1,
-                interpret=interpret,
-            )
-            p //= 2
+            cout = d_units[i][1].cout
+            skips.append((xc, p, cout, dh_, dwp))
+            if plan_enc[i][3] == "chain":
+                xc = pc.maxpool2_chain(
+                    xc, dh_, dwp, p, cout + 1, interpret=interpret
+                )
+                p //= 2
+            else:
+                # pack exhausted: pool in standard space. int8 max is
+                # exact under per-channel symmetric quantization (max is
+                # monotonic and packed positions share channel scales).
+                xp = pc.from_chain(xc, dh_, dwp, p * (cout + 1))
+                d2, h2, w2 = (s // 2 for s in xp.shape[:3])
+                xp = xp.reshape(
+                    d2, 2, h2, 2, w2, 2, xp.shape[3]
+                ).max((1, 3, 5))
+                dwp //= 2
+                xc = pc.to_chain(xp, p)
             dh_ //= 2
         a_chain, ap = xc, p
         b = None
         for idx in range(n_blocks):
             i = n_blocks - 1 - idx
+            repack_to, _pa = plan_dec[idx]
+            if repack_to is not None:
+                a_chain = pc.repack_chain(
+                    a_chain, dh_, dwp, ap,
+                    u_units[idx - 1][1].cout + 1, repack_to[0],
+                )
+                ap, dwp = repack_to
             (ma, mb, s2, b2), (pw1, ps1, pb1) = dec_q[idx]
             a_chain = uc.upconv_fused_chain(
                 a_chain, ma, b2, dh_, dwp,

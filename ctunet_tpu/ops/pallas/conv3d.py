@@ -336,6 +336,28 @@ def from_chain(
     return y if cout_pk is None else y[..., :cout_pk]
 
 
+def repack_chain(
+    xc: jax.Array, hh: int, wp_from: int, pack_from: int, c: int,
+    pack_to: int,
+) -> jax.Array:
+    """Re-lay a chained volume from ``pack_from`` to ``pack_to`` (same W).
+
+    Pure XLA reshapes (a pack block holds ``pack`` consecutive W voxels,
+    so splitting/merging blocks is a contiguous reshape). Used by the
+    engines' pack-exhausted tail (5-block models): after the standard-
+    space pool halves ``wp``, the first decoder upconv overshoots the
+    skips' pack ladder by 2x — one repack re-aligns it so every later
+    level rides the efficient pack-16 regime.
+    """
+    W = wp_from * pack_from
+    assert W % pack_to == 0, (wp_from, pack_from, pack_to)
+    wp_to = W // pack_to
+    xp = from_chain(xc, hh, wp_from, pack_from * c)
+    d_, hh_ = xp.shape[0], xp.shape[1]
+    xp = xp.reshape(d_, hh_, wp_to, pack_to * c)
+    return to_chain(xp, pack_to)
+
+
 def _chain_kernel(x_hbm, w_ref, b_ref, out_hbm, slab, acc, outbuf, zbuf,
                   sem_in, sem_out, sem_z, *, taps, rout, dma_rows, relu,
                   wp, wpad, ht, n_h, hh, d):
@@ -989,11 +1011,18 @@ def _pick_pool_h_tile(hh2, wpad, cp_in, cpo, vmem_budget=8 * 2**20):
     raise ValueError(f"no pool H tile fits: H/2={hh2}, wpad={wpad}")
 
 
-def choose_pack(ww: int, cin: int, max_lanes: int = 512, k: int = 3) -> int:
-    """Largest pack in {16,8,4,2,1} dividing W with pack*Cin <= limit and
-    pack >= k//2 (packed-tap constraint)."""
+def choose_pack(ww: int, cin: int, max_lanes: int = 512, k: int = 3,
+                max_pack: int = 16) -> int:
+    """Largest pack in {32,16,8,4,2,1} (capped at ``max_pack``) dividing W
+    with pack*Cin <= limit and pack >= k//2 (packed-tap constraint).
+
+    ``max_pack=32`` is requested by the engines for 5-block models, where
+    one extra pack halving keeps the whole U-Net in the chained regime
+    (e.g. UNetSPSmall at W=512: packs 32..2 across the five pool levels)."""
     min_pack = max(1, k // 2)
-    for p in (16, 8, 4, 2, 1):
+    for p in (32, 16, 8, 4, 2, 1):
+        if p > max_pack:
+            continue
         if p < min_pack:
             break
         if ww % p == 0 and _round_up(p * cin, LANE) <= max_lanes:

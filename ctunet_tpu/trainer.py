@@ -669,6 +669,12 @@ class Model:
         plain jitted model.apply otherwise."""
         eng = self._maybe_engine(variables, compute_dtype)
         if eng is not None:
+            # Opt-in int8 serving (``b_use_int8``): post-training
+            # quantization calibrated lazily on the first test volume
+            # (shapes are fixed per dataset, so one build serves all);
+            # ValueError (unchainable shape) falls back to the bf16 engine.
+            use_q = bool(self.params.get("use_int8"))
+            q_state: dict = {"fn": None, "tried": False}
 
             def predict(variables_unused, images):
                 chans = [images.astype(compute_dtype)]
@@ -679,12 +685,83 @@ class Model:
                             images.shape,
                         )
                     )
-                return eng(jnp.stack(chans, axis=-1))
+                x = jnp.stack(chans, axis=-1)
+                if use_q and not q_state["tried"]:
+                    q_state["tried"] = True
+                    from . import engine_q
+
+                    try:
+                        q_state["fn"] = engine_q.build_predict_q(
+                            self.params["model_class"], variables, x[0],
+                            compute_dtype=compute_dtype,
+                        )
+                        print("serving: calibrated int8 engine.")
+                    except (ValueError, KeyError) as e:
+                        print(
+                            f"int8 engine unavailable ({e}); "
+                            "serving the bf16 engine."
+                        )
+                if q_state["fn"] is not None:
+                    return q_state["fn"](x)
+                return eng(x)
 
             return predict
         return steps.make_predict_fn(
             model, atlas=atlas, compute_dtype=compute_dtype
         )
+
+    def _make_patch_predict(self, model, variables, compute_dtype,
+                            atlas_p=None):
+        """Sliding-window predict serving each patch through the fused
+        Pallas engine when available; with ``b_use_int8`` the per-patch
+        engine is quantized, calibrated on the central patch of the first
+        volume — built lazily so calibration sees real data before the
+        scan traces."""
+        from .ops.sliding_window import make_sliding_window_fn
+
+        eng = self._maybe_engine(variables, compute_dtype)
+        ps = int(self.params.get("patch_size") or 128)
+        sw_kwargs = dict(
+            patch_size=ps,
+            overlap=float(self.params.get("patch_overlap") or 0.5),
+            atlas=atlas_p,
+            compute_dtype=compute_dtype,
+        )
+        sw_state: dict = {"fn": None}
+
+        def predict(vs, padded):
+            if sw_state["fn"] is None:
+                apply_fn = None if eng is None else (lambda v, x: eng(x))
+                if eng is not None and self.params.get("use_int8"):
+                    from . import engine_q
+
+                    vol = jnp.asarray(padded[0], compute_dtype)
+                    ctr = [max(0, (s - ps) // 2) for s in vol.shape]
+                    chans = [jax.lax.dynamic_slice(vol, ctr, (ps, ps, ps))]
+                    if atlas_p is not None:
+                        chans.append(jax.lax.dynamic_slice(
+                            jnp.asarray(atlas_p, compute_dtype),
+                            ctr, (ps, ps, ps),
+                        ))
+                    calib = jnp.stack(chans, axis=-1)
+                    try:
+                        q = engine_q.build_predict_q(
+                            self.params["model_class"], variables,
+                            calib, compute_dtype=compute_dtype,
+                        )
+                        apply_fn = lambda v, x: q(x)  # noqa: E731
+                        print("patch serving: calibrated int8 engine.")
+                    except (ValueError, KeyError) as e:
+                        print(
+                            f"int8 engine unavailable ({e}); "
+                            "serving patches on the bf16 engine."
+                        )
+                sw_state["fn"] = make_sliding_window_fn(
+                    model, apply_fn=apply_fn, **sw_kwargs
+                )
+            return sw_state["fn"](vs, padded)
+
+        return predict
 
     def _forward_pass_test(self) -> None:
         print("Phase: test.")
@@ -708,19 +785,8 @@ class Model:
                 atlas_p = np.pad(np.asarray(atlas_p), apads)
 
         if self.params.get("patch_inference"):
-            from .ops.sliding_window import make_sliding_window_fn
-
-            # Serve each patch through the fused Pallas engine when
-            # available (the north-star serving mode runs the fast path).
-            eng = self._maybe_engine(variables, compute_dtype)
-            apply_fn = None if eng is None else (lambda v, x: eng(x))
-            predict = make_sliding_window_fn(
-                model,
-                patch_size=int(self.params.get("patch_size") or 128),
-                overlap=float(self.params.get("patch_overlap") or 0.5),
-                atlas=atlas_p,
-                compute_dtype=compute_dtype,
-                apply_fn=apply_fn,
+            predict = self._make_patch_predict(
+                model, variables, compute_dtype, atlas_p
             )
         else:
             predict = self._make_whole_volume_predict(

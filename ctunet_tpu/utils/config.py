@@ -72,6 +72,9 @@ def default_params() -> Dict[str, Any]:
         "patch_size": 128,
         "patch_overlap": 0.5,
         "use_engine": True,           # fused Pallas inference engine
+        "use_int8": False,            # calibrated int8 serving engine
+                                      # (PTQ; calibrates on the first test
+                                      # volume, falls back to bf16 engine)
         "train_patch_size": 0,        # >0: random-crop patch training
         "prefetch_depth": 2,          # host->device pipeline depth
         "debug_nans": False,          # jax.debug_nans (ref: detect_anomaly)

@@ -119,9 +119,31 @@ def test_int8_engine_close_to_bf16_engine(rng):
 
 
 def test_int8_engine_rejects_unchainable():
-    """Pack exhaustion must raise (callers fall back to the bf16 engine):
-    UNetSPSmall has 5 levels, so a pack-16 start hits pack 1 at level 4."""
+    """Shapes outside the plan must raise (callers fall back to the bf16
+    engine): an odd H at a pool level is unplannable. The static plan
+    rejects this before calibration, so params from a valid shape
+    suffice."""
     from ctunet_tpu import engine_q
+    from ctunet_tpu.models import build_model
+
+    m = build_model(
+        "UNetSPSmall", compute_dtype="float32", use_checkpoint=False
+    )
+    x0 = jnp.zeros((1, 32, 32, 32, 2), jnp.float32)
+    vs = jax.jit(m.init, static_argnums=(2,))(jax.random.key(0), x0, False)
+    with pytest.raises(ValueError, match="chainable"):
+        engine_q.build_predict_q(
+            "UNetSPSmall", vs, jnp.zeros((32, 24, 32, 2), jnp.float32),
+            compute_dtype=jnp.float32, interpret=True,
+        )
+
+
+def test_int8_engine_spsmall_exhausted_tail(rng):
+    """5-block UNetSPSmall at pack 16: level 4 exhausts the pack, taking
+    the standard-space int8 pool + decoder repack path — the quantized
+    224x512x512 serving regime, at test size. int8 masks must match the
+    bf16 engine's argmax on a skull-like input."""
+    from ctunet_tpu import engine, engine_q
     from ctunet_tpu.models import build_model
 
     shape = (32, 32, 32)
@@ -130,11 +152,24 @@ def test_int8_engine_rejects_unchainable():
     )
     x0 = jnp.zeros((1, *shape, 2), jnp.float32)
     vs = jax.jit(m.init, static_argnums=(2,))(jax.random.key(0), x0, False)
-    with pytest.raises(ValueError, match="chainable"):
-        engine_q.build_predict_q(
-            "UNetSPSmall", vs, x0[0], compute_dtype=jnp.float32,
-            interpret=True,
-        )
+    x = jnp.asarray(
+        (rng.random((1, *shape, 2)) > 0.7).astype(np.float32)
+    )
+    predict = engine.build_predict(
+        "UNetSPSmall", vs, compute_dtype=jnp.float32, interpret=True
+    )
+    predict_q = engine_q.build_predict_q(
+        "UNetSPSmall", vs, x[0], compute_dtype=jnp.float32, interpret=True
+    )
+    want = predict(x)
+    got = predict_q(x)
+    for g, w in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        g, w = np.asarray(g, np.float32), np.asarray(w, np.float32)
+        # probabilities close; argmax masks near-identical
+        assert np.mean(np.abs(g - w)) < 0.02
+        assert np.mean(
+            np.argmax(g, -1) == np.argmax(w, -1)
+        ) > 0.995
 
 
 def _apply_R(x, R):

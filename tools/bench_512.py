@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""512-res inference benchmark: UNetSPSmall at 224x512x512 whole-volume.
+
+The reference's ``examples/UNetSPDO/FlapRecSP2O_512.ini`` serving config
+(SURVEY.md §5 long-context: fixed preprocessed resolutions, a smaller
+5-block net for 512). Times three paths on one chip:
+
+- XLA convs (bf16 whole-volume)
+- chained-flat Pallas engine (bf16; pack-16 with the exhausted tail:
+  one standard-space pool + decoder repack)
+- calibrated int8 engine (same exhausted-tail plan, fully int8)
+
+Prints one JSON line per path. Usage: python tools/bench_512.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+SHAPE = (224, 512, 512)
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ctunet_tpu.models import build_model
+
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+    model = build_model(
+        "UNetSPSmall", compute_dtype="bfloat16", use_checkpoint=False
+    )
+    x = jnp.asarray(
+        (np.random.default_rng(0).random((1, *SHAPE, 2)) > 0.8).astype(
+            "float32"
+        ),
+        jnp.bfloat16,
+    )
+    variables = jax.jit(model.init, static_argnums=(2,))(
+        jax.random.key(0), x, False
+    )
+
+    def timed(fn, label, n_iters=6):
+        t0 = time.perf_counter()
+        float(fn(x))
+        print(
+            f"{label} compile+first: {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+        times = []
+        for _ in range(n_iters):
+            t0 = time.perf_counter()
+            float(fn(x))
+            times.append(time.perf_counter() - t0)
+        lat = min(times)
+        t0 = time.perf_counter()
+        sums = [fn(x) for _ in range(n_iters)]
+        _ = [float(s) for s in sums]
+        thr = (time.perf_counter() - t0) / n_iters
+        print(json.dumps({
+            "path": label, "latency_ms": round(lat * 1000, 1),
+            "pipelined_ms_per_volume": round(thr * 1000, 1),
+            "volumes_per_sec": round(1.0 / min(lat, thr), 2),
+        }))
+        return min(lat, thr)
+
+    def _sum(out):
+        return sum(
+            jnp.sum(o.astype(jnp.float32)) for o in jax.tree.leaves(out)
+        )
+
+    if "--xla" in sys.argv:
+        @jax.jit
+        def fwd(x):
+            return _sum(model.apply(variables, x, False))
+
+        timed(fwd, "xla_bf16")
+
+    from ctunet_tpu import engine
+
+    predict = engine.build_predict("UNetSPSmall", variables)
+
+    @jax.jit
+    def fwd_e(x):
+        return _sum(predict(x))
+
+    timed(fwd_e, "engine_bf16")
+
+    from ctunet_tpu import engine_q
+
+    predict_q = engine_q.build_predict_q("UNetSPSmall", variables, x[0])
+
+    @jax.jit
+    def fwd_q(x):
+        return _sum(predict_q(x))
+
+    timed(fwd_q, "engine_int8")
+
+
+if __name__ == "__main__":
+    main()
