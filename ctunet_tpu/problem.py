@@ -36,6 +36,23 @@ from .ops import codecs, losses, synthesis
 from .utils import makedir, nifti
 
 
+def _hard_mask(pred: np.ndarray) -> np.ndarray:
+    """Hard class mask from a prediction: per-sample channels-last
+    probabilities get an argmax; integer-typed inputs are already hard
+    (the serving pipeline argmaxes on DEVICE and ships packed masks —
+    trainer ``_forward_pass_test``)."""
+    if np.issubdtype(pred.dtype, np.integer):
+        return pred.astype(np.float32)
+    return np.argmax(pred, axis=-1).astype(np.float32)
+
+
+def _mask_u8(mask: np.ndarray) -> np.ndarray:
+    """Masks are written as uint8 NIfTI (class ids < 256; 4x smaller files
+    and gzip time than the reference's float sitk write — values
+    unchanged)."""
+    return np.asarray(mask).astype(np.uint8)
+
+
 class ProblemHandler:
     """Base handler (ref ``ProblemHandler.py:21-102``)."""
 
@@ -114,18 +131,21 @@ class ProblemHandler:
             print("  " + name + "..")
             out_folder = makedir(os.path.join(path, "pred_" + output_folder_name))
             src = nifti.read(inp_path)
-            hard = np.argmax(pred, axis=-1).astype(np.float32)
+            hard = _hard_mask(pred)
             if hard.ndim > 3:  # several images: <file>_c{i}.nii.gz each
                 for i, sub in enumerate(hard.reshape((-1,) + hard.shape[-3:])):
                     o_name = name.replace(".nii.gz", f"_c{i}.nii.gz")
                     out_path = os.path.join(out_folder, o_name)
-                    nifti.write(out_path, src.with_data(self._post(sub)))
+                    nifti.write(
+                        out_path,
+                        src.with_data(_mask_u8(self._post(sub))),
+                    )
                     saved.append(out_path)
                 continue
             hard = self._post(hard)
             o_name = name.replace(".nii.gz", "_fl.nii.gz")
             out_path = os.path.join(out_folder, o_name)
-            nifti.write(out_path, src.with_data(hard))
+            nifti.write(out_path, src.with_data(_mask_u8(hard)))
             saved.append(out_path)
         if out_folder is not None:
             orig = os.path.join(
@@ -276,12 +296,10 @@ class FlapRecWithShapePriorDoubleOut(ImageTargetProblem):
             )
             src = nifti.read(inp_path)
             for pred, sfx in ((pred_sk, "sk"), (pred_fl, "fl")):
-                hard = self._post(
-                    np.argmax(pred, axis=-1).astype(np.float32)
-                )
+                hard = self._post(_hard_mask(pred))
                 o_name = name.replace(".nii.gz", f"_{sfx}.nii.gz")
                 out_path = os.path.join(out_folder, o_name)
-                nifti.write(out_path, src.with_data(hard))
+                nifti.write(out_path, src.with_data(_mask_u8(hard)))
                 saved.append(out_path)
             orig = os.path.join(
                 out_folder, name.replace(".nii.gz", "_i.nii.gz")

@@ -676,14 +676,19 @@ class Model:
             use_q = bool(self.params.get("use_int8"))
             q_state: dict = {"fn": None, "tried": False}
 
+            # the atlas is a serving-time constant: upload it ONCE (the
+            # old per-call jnp.asarray re-sent ~40 MB per volume over the
+            # host link)
+            atlas_dev = (
+                None if atlas is None
+                else jax.device_put(jnp.asarray(atlas, compute_dtype))
+            )
+
             def predict(variables_unused, images):
                 chans = [images.astype(compute_dtype)]
-                if atlas is not None:
+                if atlas_dev is not None:
                     chans.append(
-                        jnp.broadcast_to(
-                            jnp.asarray(atlas, compute_dtype)[None],
-                            images.shape,
-                        )
+                        jnp.broadcast_to(atlas_dev[None], images.shape)
                     )
                 x = jnp.stack(chans, axis=-1)
                 if use_q and not q_state["tried"]:
@@ -792,26 +797,90 @@ class Model:
             predict = self._make_whole_volume_predict(
                 model, variables, compute_dtype, atlas=atlas_p
             )
-        loader = self.data["test_loader"]
-        for batch in iter(loader):
+        # Serving pipeline: decode prefetch is threaded in the loader;
+        # predict dispatch runs ahead of device_get + NIfTI writes
+        # (``depth`` volumes in flight, writes on a small thread pool), so
+        # the chip computes volume i+1 while volume i is fetched/written.
+        # Host<->device traffic is minimized TPU-natively: binary volumes
+        # upload as packed bits (1/32 of f32), the argmax runs ON DEVICE,
+        # and binary masks come back packed (5 MB instead of 332 MB of f32
+        # probabilities at 224x304x304).
+        import collections
+        import concurrent.futures as cf
+
+        depth = max(1, int(self.params.get("prefetch_depth") or 2))
+        pending: collections.deque = collections.deque()
+        write_futs = []
+
+        @jax.jit
+        def _hardify(out):
+            def f(v):
+                m = jnp.argmax(v, -1).astype(jnp.uint8)
+                if v.shape[-1] == 2 and m.ndim == 4:
+                    # binary mask: 8 voxels/byte for the host fetch
+                    return jnp.packbits(
+                        m.reshape(m.shape[0], -1), axis=-1
+                    )
+                return m
+            return jax.tree.map(f, out)
+
+        _unpack_cache: dict = {}
+
+        def _upload(padded):
+            """Packed-bits upload for binary volumes; plain otherwise."""
+            u8 = padded.astype(np.uint8)
+            if not (padded.max() <= 1.0 and
+                    np.array_equal(padded, u8)):
+                return jax.device_put(padded)
+            key = padded.shape
+            if key not in _unpack_cache:
+                n = int(np.prod(padded.shape[1:]))
+
+                @jax.jit
+                def unpack(bits):
+                    m = jnp.unpackbits(bits, axis=-1, count=n)
+                    return m.reshape(
+                        (bits.shape[0],) + key[1:]
+                    ).astype(jnp.float32)
+
+                _unpack_cache[key] = unpack
+            bits = np.packbits(u8.reshape(u8.shape[0], -1), axis=-1)
+            return _unpack_cache[key](jax.device_put(bits))
+
+        def flush_one(pool):
+            out, batch, padded_shape = pending.popleft()
             images = batch["image"]
-            pads = [
-                (0, -s % multiple) for s in images.shape[1:]
-            ]
-            padded = np.pad(images, [(0, 0)] + pads)
-            out = predict(variables, jax.device_put(padded))
 
             def unpad_np(a):
-                a = np.asarray(jax.device_get(a), np.float32)
-                sl = tuple(
-                    slice(0, s) for s in images.shape[1:]
-                )
+                a = np.asarray(jax.device_get(a))
+                if a.ndim == 2 and a.dtype == np.uint8:
+                    # packed binary mask -> (B, D, H, W)
+                    n = int(np.prod(padded_shape))
+                    a = np.unpackbits(a, axis=-1, count=n).reshape(
+                        (a.shape[0],) + padded_shape
+                    )
+                sl = tuple(slice(0, s) for s in images.shape[1:])
                 return a[(slice(None),) + sl]
 
             out = jax.tree.map(unpad_np, out)
-            self.out_paths = self.write_predictions(
-                out, batch["filepath"], self.params["name"], images
-            )
+            write_futs.append(pool.submit(
+                self.write_predictions,
+                out, batch["filepath"], self.params["name"], images,
+            ))
+
+        with cf.ThreadPoolExecutor(2) as pool:
+            for batch in iter(self.data["test_loader"]):
+                images = batch["image"]
+                pads = [(0, -s % multiple) for s in images.shape[1:]]
+                padded = np.pad(images, [(0, 0)] + pads)
+                out = _hardify(predict(variables, _upload(padded)))
+                pending.append((out, batch, padded.shape[1:]))
+                if len(pending) >= depth:
+                    flush_one(pool)
+            while pending:
+                flush_one(pool)
+            for f in write_futs:
+                self.out_paths = f.result()
 
 
 def load_ini_file(ini_file: str) -> None:

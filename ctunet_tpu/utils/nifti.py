@@ -89,6 +89,10 @@ class NiftiImage:
 
 def _open(path: str, mode: str):
     if str(path).endswith(".gz"):
+        # level 1 on writes: binary masks/skulls compress to within a few
+        # percent of level 9 at ~5x the throughput (serving-path hot spot)
+        if "w" in mode:
+            return gzip.open(path, mode, compresslevel=1)
         return gzip.open(path, mode)
     return open(path, mode)
 
