@@ -171,6 +171,47 @@ class ConvUnit(nn.Module):
         return nn.relu(x)
 
 
+class _ConvT2x2(nn.Module):
+    """k=2 s=2 VALID transposed conv as einsum + depth-to-space.
+
+    Parameter-identical to ``nn.ConvTranspose(features, (2,2,2),
+    strides=(2,2,2), padding='VALID', transpose_kernel=True, use_bias=
+    True)`` — kernel (2,2,2,O,I), same initializer — so torch
+    ``ConvTranspose3d`` weights port bit-exactly and existing checkpoints
+    load unchanged. With stride == kernel size the output decomposes
+    exactly (no overlap): ``out[2z+a,2y+b,2x+c,o] = sum_i x[z,y,x,i] *
+    k[a,b,c,o,i]`` (no spatial flip; verified against flax in
+    tests/test_engine.py::test_conv_transpose_helper_matches_flax). The
+    einsum's forward AND backward are plain MXU contractions — XLA's
+    transposed-conv lowering instead emitted full-volume layout copies and
+    a `reverse` in the backward (~100 ms/step at 224x304x304)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (2, 2, 2, self.features, cin),
+            self.param_dtype,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,),
+            self.param_dtype,
+        )
+        k = kernel.astype(self.dtype)
+        xb = x if x.ndim == 5 else x[None]
+        y = jnp.einsum("nzyxi,abcoi->nzaybxco", xb.astype(self.dtype), k)
+        bsz, d, _, hh, _, ww, _, co = y.shape
+        y = y.reshape(bsz, d * 2, hh * 2, ww * 2, co)
+        y = y + bias.astype(y.dtype)
+        return y if x.ndim == 5 else y[0]
+
+
 class UNetBlock(nn.Module):
     """Two conv units; up blocks prepend a stride-2 transposed conv.
 
@@ -192,17 +233,31 @@ class UNetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.up_block:
-            x = nn.ConvTranspose(
-                x.shape[-1],
-                (self.kern_s_uconv,) * 3,
-                strides=(self.stride_upc,) * 3,
-                padding="VALID",
-                transpose_kernel=True,
-                use_bias=True,
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-                name="upconv",
-            )(x)
+            if self.kern_s_uconv == 2 and self.stride_upc == 2:
+                # Non-overlapping k2s2: one einsum + depth-to-space.
+                # Param-compatible with nn.ConvTranspose(transpose_kernel=
+                # True) but avoids XLA's transposed-conv lowering, whose
+                # full-res fwd+bwd at 224x304x304 spends ~100 ms/step in
+                # layout copies and a whole-volume `reverse` (HLO-profiled;
+                # BASELINE.md round 4).
+                x = _ConvT2x2(
+                    x.shape[-1],
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    name="upconv",
+                )(x)
+            else:
+                x = nn.ConvTranspose(
+                    x.shape[-1],
+                    (self.kern_s_uconv,) * 3,
+                    strides=(self.stride_upc,) * 3,
+                    padding="VALID",
+                    transpose_kernel=True,
+                    use_bias=True,
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    name="upconv",
+                )(x)
         for j in range(2):
             x = ConvUnit(
                 self.out_c,

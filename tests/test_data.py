@@ -104,6 +104,45 @@ def test_device_prefetch_passthrough(csvfile):
     assert isinstance(out[0]["filepath"], list)
 
 
+def test_device_prefetch_packs_binary_exactly():
+    """Binary float volumes cross the link as packed bits and come back
+    bit-exact; non-binary data transfers raw. Works under a batch
+    NamedSharding (8 virtual devices)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    rng = np.random.default_rng(0)
+    binary = (rng.random((2, 16, 64, 64)) > 0.7).astype(np.float32)
+    nonbin = rng.random((2, 16, 64, 64)).astype(np.float32)
+    batches = [{"image": binary, "raw": nonbin, "filepath": ["a", "b"]}]
+    out = list(device_prefetch(iter(batches), depth=1))[0]
+    assert isinstance(out["image"], jax.Array)
+    assert out["image"].dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(out["image"]), binary)
+    np.testing.assert_array_equal(np.asarray(out["raw"]), nonbin)
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+    sh = NamedSharding(mesh, PartitionSpec("data"))
+    out = list(device_prefetch(iter(batches), depth=1, sharding=sh))[0]
+    np.testing.assert_array_equal(np.asarray(out["image"]), binary)
+    # the packed upload keeps the batch dim sharded over the mesh
+    assert len(out["image"].sharding.device_set) == 2
+
+
+def test_device_prefetch_mixed_binary_batches():
+    """A later non-binary batch for a key that started binary must still
+    transfer exactly (the check runs per batch, not once)."""
+    rng = np.random.default_rng(1)
+    b1 = (rng.random((1, 32, 64, 64)) > 0.5).astype(np.float32)
+    b2 = rng.random((1, 32, 64, 64)).astype(np.float32)
+    outs = list(device_prefetch(
+        iter([{"image": b1}, {"image": b2}]), depth=1
+    ))
+    np.testing.assert_array_equal(np.asarray(outs[0]["image"]), b1)
+    np.testing.assert_array_equal(np.asarray(outs[1]["image"]), b2)
+
+
 def test_atlas_unknown_size_raises(tmp_path):
     with pytest.raises(FileNotFoundError, match="different than the"):
         atlas_mod.load_atlas((3, 3, 3), str(tmp_path))
