@@ -98,6 +98,63 @@ class HostLoader:
                 yield self._collate(samples)
 
 
+_unpack_cache: dict = {}
+
+
+def put_packed_or_none(v: np.ndarray, sharding=None):
+    """Upload an exactly-binary float array as PACKED BITS (1/32 of the
+    f32 bytes over the host->device link), unpacked by a tiny jitted
+    program on device; returns ``None`` when ``v`` is not binary (or too
+    small to be worth the check) so the caller falls back to a raw
+    ``device_put``. At 224x304x304 this turns an 83 MB upload into 2.6 MB.
+
+    With a ``sharding``, the bits ride batch-sharded and the on-device
+    unpack applies ``with_sharding_constraint`` to the FULL target
+    sharding — any spatial resharding happens over ICI inside the jitted
+    program, never through the host link.
+    """
+    import jax
+
+    if not (
+        v.ndim >= 2
+        and np.issubdtype(v.dtype, np.floating)
+        and v.size > 65536
+        and np.array_equal(v, v.astype(np.bool_))
+    ):
+        return None
+    key = (v.shape, str(v.dtype), sharding)
+    if key not in _unpack_cache:
+        import jax.numpy as jnp
+
+        n = int(np.prod(v.shape[1:]))
+        shape, dtype = v.shape, v.dtype
+
+        @jax.jit
+        def unpack(bits):
+            m = jnp.unpackbits(bits, axis=-1, count=n)
+            m = m.reshape((bits.shape[0],) + shape[1:]).astype(dtype)
+            if sharding is not None:
+                m = jax.lax.with_sharding_constraint(m, sharding)
+            return m
+
+        _unpack_cache[key] = unpack
+    bits = np.packbits(v.astype(np.uint8).reshape(v.shape[0], -1), axis=-1)
+    bs = None
+    spec = getattr(sharding, "spec", None)
+    if spec is not None:
+        try:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            lead = spec[0] if len(spec) else None
+            bs = NamedSharding(sharding.mesh, PartitionSpec(lead, None))
+        except Exception:
+            bs = None
+    bits_dev = (
+        jax.device_put(bits, bs) if bs is not None else jax.device_put(bits)
+    )
+    return _unpack_cache[key](bits_dev)
+
+
 def device_prefetch(iterator, depth: int = 2, sharding=None,
                     pack_binary: bool = True):
     """Run ``jax.device_put`` ahead of the consumer (double buffering).
@@ -106,33 +163,18 @@ def device_prefetch(iterator, depth: int = 2, sharding=None,
     multi-chip batches); non-array entries pass through untouched.
 
     ``pack_binary``: exactly-binary float volumes (the preprocessed skulls
-    this framework trains on) cross the host->device link as PACKED BITS —
-    1/32 of the f32 bytes — and are unpacked by a tiny jitted program on
-    device. At 224x304x304 this turns an 83 MB upload per step into 2.6 MB
-    (the host link, not the step, bounds full-res training otherwise).
-    Binary-ness is verified on EVERY batch (a cheap two-pass compare,
-    ~5% of the transfer time it saves) — a cached first-batch decision
-    could silently corrupt a mixed dataset; only a first non-binary batch
-    disables further checks for that key (datasets are homogeneous in
-    practice, and the fallback is the raw transfer either way).
+    this framework trains on) cross the host->device link as packed bits
+    via :func:`put_packed_or_none` (the host link, not the step, bounds
+    full-res training otherwise). Binary-ness is verified on EVERY batch
+    (a cheap two-pass compare, ~5% of the transfer time it saves) — a
+    cached first-batch decision could silently corrupt a mixed dataset;
+    only a first non-binary batch disables further checks for that key
+    (datasets are homogeneous in practice, and the fallback is the raw
+    transfer either way).
     """
     import jax
-    import jax.numpy as jnp
 
     never_binary: set = set()
-    unpack_cache: dict = {}
-
-    def _bits_sharding(v_ndim):
-        spec = getattr(sharding, "spec", None)
-        if spec is None:
-            return None
-        try:
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            lead = spec[0] if len(spec) else None
-            return NamedSharding(sharding.mesh, PartitionSpec(lead, None))
-        except Exception:
-            return None
 
     def _put_raw(v):
         return (
@@ -140,44 +182,21 @@ def device_prefetch(iterator, depth: int = 2, sharding=None,
             else jax.device_put(v)
         )
 
-    def _put_packed(v):
-        key = (v.shape, str(v.dtype))
-        if key not in unpack_cache:
-            n = int(np.prod(v.shape[1:]))
-            shape, dtype = v.shape, v.dtype
-
-            @jax.jit
-            def unpack(bits):
-                m = jnp.unpackbits(bits, axis=-1, count=n)
-                return m.reshape(
-                    (bits.shape[0],) + shape[1:]
-                ).astype(dtype)
-
-            unpack_cache[key] = unpack
-        bits = np.packbits(
-            v.astype(np.uint8).reshape(v.shape[0], -1), axis=-1
-        )
-        bs = _bits_sharding(v.ndim)
-        bits_dev = (
-            jax.device_put(bits, bs) if bs is not None
-            else jax.device_put(bits)
-        )
-        return unpack_cache[key](bits_dev)
-
     def put(batch):
         out = {}
         for k, v in batch.items():
             if isinstance(v, np.ndarray):
-                if (
-                    pack_binary and v.ndim >= 2
-                    and k not in never_binary
-                    and np.issubdtype(v.dtype, np.floating)
-                    and v.size > 65536
-                ):
-                    if np.array_equal(v, v.astype(np.bool_)):
-                        out[k] = _put_packed(v)
+                if pack_binary and k not in never_binary:
+                    packed = put_packed_or_none(v, sharding)
+                    if packed is not None:
+                        out[k] = packed
                         continue
-                    never_binary.add(k)
+                    if (
+                        v.ndim >= 2
+                        and np.issubdtype(v.dtype, np.floating)
+                        and v.size > 65536
+                    ):
+                        never_binary.add(k)
                 out[k] = _put_raw(v)
             else:
                 out[k] = v

@@ -182,11 +182,13 @@ def _conv3d_pallas_bwd(res, g):
                 xs = jax.lax.dynamic_slice(
                     xp, (0, a, bb, c, 0), (b, d, hh, ww, x.shape[-1])
                 )
+                # bf16 operands with f32 accumulation: an explicit f32
+                # astype materialized two full-volume f32 temps per tap
+                # (the sole cause of a 25 GB HBM OOM at 224x304x304).
                 rows.append(
                     jnp.einsum(
-                        "bdhwi,bdhwo->io",
-                        xs.astype(jnp.float32),
-                        g.astype(jnp.float32),
+                        "bdhwi,bdhwo->io", xs, g,
+                        preferred_element_type=jnp.float32,
                     )
                 )
             taps.append(jnp.stack(rows))

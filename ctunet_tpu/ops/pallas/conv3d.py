@@ -1011,18 +1011,17 @@ def _pick_pool_h_tile(hh2, wpad, cp_in, cpo, vmem_budget=8 * 2**20):
     raise ValueError(f"no pool H tile fits: H/2={hh2}, wpad={wpad}")
 
 
-def choose_pack(ww: int, cin: int, max_lanes: int = 512, k: int = 3,
-                max_pack: int = 16) -> int:
-    """Largest pack in {32,16,8,4,2,1} (capped at ``max_pack``) dividing W
-    with pack*Cin <= limit and pack >= k//2 (packed-tap constraint).
+def choose_pack(ww: int, cin: int, max_lanes: int = 512, k: int = 3) -> int:
+    """Largest pack in {16,8,4,2,1} dividing W with pack*Cin <= limit and
+    pack >= k//2 (packed-tap constraint).
 
-    ``max_pack=32`` is requested by the engines for 5-block models, where
-    one extra pack halving keeps the whole U-Net in the chained regime
-    (e.g. UNetSPSmall at W=512: packs 32..2 across the five pool levels)."""
+    16 is a measured ceiling, not a kernel limit (``pack_weights`` takes
+    any pack): pack 32 made the 512-res engine 1.65x SLOWER — i_size=4
+    channel counts round up to two 128-lane blocks per matmul operand
+    (BASELINE.md round 4). 5-block models instead run the pack-exhausted
+    tail (pack-1 convs, one standard-space pool, a decoder repack)."""
     min_pack = max(1, k // 2)
-    for p in (32, 16, 8, 4, 2, 1):
-        if p > max_pack:
-            continue
+    for p in (16, 8, 4, 2, 1):
         if p < min_pack:
             break
         if ww % p == 0 and _round_up(p * cin, LANE) <= max_lanes:

@@ -670,11 +670,13 @@ class Model:
         eng = self._maybe_engine(variables, compute_dtype)
         if eng is not None:
             # Opt-in int8 serving (``b_use_int8``): post-training
-            # quantization calibrated lazily on the first test volume
-            # (shapes are fixed per dataset, so one build serves all);
-            # ValueError (unchainable shape) falls back to the bf16 engine.
+            # quantization calibrated lazily on the first test volume OF
+            # EACH SHAPE — the quantized plan (pool kinds, decoder repack
+            # targets) is shape-specific, so a mixed-size test set gets
+            # one build per shape instead of a retrace crash; ValueError
+            # (unchainable shape) falls back to the bf16 engine.
             use_q = bool(self.params.get("use_int8"))
-            q_state: dict = {"fn": None, "tried": False}
+            q_by_shape: dict = {}
 
             # the atlas is a serving-time constant: upload it ONCE (the
             # old per-call jnp.asarray re-sent ~40 MB per volume over the
@@ -691,23 +693,27 @@ class Model:
                         jnp.broadcast_to(atlas_dev[None], images.shape)
                     )
                 x = jnp.stack(chans, axis=-1)
-                if use_q and not q_state["tried"]:
-                    q_state["tried"] = True
+                shape = tuple(x.shape[1:])
+                if use_q and shape not in q_by_shape:
                     from . import engine_q
 
                     try:
-                        q_state["fn"] = engine_q.build_predict_q(
+                        q_by_shape[shape] = engine_q.build_predict_q(
                             self.params["model_class"], variables, x[0],
                             compute_dtype=compute_dtype,
                         )
-                        print("serving: calibrated int8 engine.")
+                        print(
+                            f"serving: calibrated int8 engine for {shape}."
+                        )
                     except (ValueError, KeyError) as e:
+                        q_by_shape[shape] = None
                         print(
                             f"int8 engine unavailable ({e}); "
                             "serving the bf16 engine."
                         )
-                if q_state["fn"] is not None:
-                    return q_state["fn"](x)
+                fn = q_by_shape.get(shape) if use_q else None
+                if fn is not None:
+                    return fn(x)
                 return eng(x)
 
             return predict
@@ -824,28 +830,14 @@ class Model:
                 return m
             return jax.tree.map(f, out)
 
-        _unpack_cache: dict = {}
-
         def _upload(padded):
-            """Packed-bits upload for binary volumes; plain otherwise."""
-            u8 = padded.astype(np.uint8)
-            if not (padded.max() <= 1.0 and
-                    np.array_equal(padded, u8)):
-                return jax.device_put(padded)
-            key = padded.shape
-            if key not in _unpack_cache:
-                n = int(np.prod(padded.shape[1:]))
+            """Packed-bits upload for binary volumes; plain otherwise
+            (shared protocol with the training path:
+            :func:`ctunet_tpu.data.pipeline.put_packed_or_none`)."""
+            from .data.pipeline import put_packed_or_none
 
-                @jax.jit
-                def unpack(bits):
-                    m = jnp.unpackbits(bits, axis=-1, count=n)
-                    return m.reshape(
-                        (bits.shape[0],) + key[1:]
-                    ).astype(jnp.float32)
-
-                _unpack_cache[key] = unpack
-            bits = np.packbits(u8.reshape(u8.shape[0], -1), axis=-1)
-            return _unpack_cache[key](jax.device_put(bits))
+            packed = put_packed_or_none(padded)
+            return packed if packed is not None else jax.device_put(padded)
 
         def flush_one(pool):
             out, batch, padded_shape = pending.popleft()
