@@ -121,9 +121,11 @@ class PackedConv(nn.Module):
         )
         batched = x.ndim == 5
         xb = x if batched else x[None]
-        conv = (
-            conv3d_pallas if get_conv_impl() == "pallas" else packed_conv3d
-        )
+        impl = get_conv_impl()
+        if impl == "chain":
+            from ..ops.chain_conv_train import conv3d_chain_train as conv
+        else:
+            conv = conv3d_pallas if impl == "pallas" else packed_conv3d
         y = conv(xb.astype(self.dtype), kernel.astype(self.dtype))
         if self.use_bias:
             bias = self.param(

@@ -89,10 +89,12 @@ _CONV_IMPL = "xla"
 
 def set_conv_impl(impl: str) -> None:
     """Select the training-conv implementation at trace time:
-    'xla' (packed XLA conv, default) or 'pallas' (fused kernel fwd/dgrad
-    with a hand VJP). Retracing (e.g. rebuilding the train step) applies."""
+    'xla' (packed XLA conv, default), 'pallas' (fused kernel fwd/dgrad
+    with a hand VJP), or 'chain' (ring-cached chain-kernel fwd/dgrad +
+    all-MXU dot-general weight grads — ops/chain_conv_train.py).
+    Retracing (e.g. rebuilding the train step) applies."""
     global _CONV_IMPL
-    assert impl in ("xla", "pallas"), impl
+    assert impl in ("xla", "pallas", "chain"), impl
     _CONV_IMPL = impl
 
 

@@ -83,7 +83,7 @@ def default_params() -> Dict[str, Any]:
         "remat": True,                # activation recomputation per block
         "drop_remainder": True,
         "largest_cc": False,          # postprocess: keep largest component
-        "conv_impl": "xla",           # training conv: 'xla' | 'pallas'
+        "conv_impl": "xla",           # training conv: xla|pallas|chain
     }
 
 
