@@ -128,6 +128,18 @@ def _dw_chain(x: jax.Array, g: jax.Array, pack: int) -> jax.Array:
         x.reshape(d, hh, wp, pack * cin), pack
     )  # (D+2, R, cin_p)
     gc = pc.to_chain(g.reshape(d, hh, wp, pack * cout), pack)
+    return dw_chain_packed(xc, gc, hh, pack, cin, cout)
+
+
+def dw_chain_packed(xc: jax.Array, gc: jax.Array, hh: int, pack: int,
+                    cin: int, cout: int) -> jax.Array:
+    """Packed-kernel gradient from CHAIN-layout operands.
+
+    ``gc`` must carry exact zeros on halo rows/pad columns (to_chain
+    guarantees it; chain-resident callers enforce it with a mask multiply,
+    which also kills the spurious halo gradients)."""
+    dp2 = xc.shape[0]
+    d = dp2 - 2
     wpad = xc.shape[1] // (hh + 2)
     rows = xc.shape[1]
     # the extreme tap shift is -(wpad + 1): pad wpad + 8 zeros per side so
