@@ -19,6 +19,31 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+REPO_INIS = sorted(
+    glob.glob(
+        os.path.join(
+            os.path.dirname(__file__), os.pardir, "examples", "**", "*.ini"
+        ),
+        recursive=True,
+    )
+)
+
+
+@pytest.mark.parametrize(
+    "ini", REPO_INIS, ids=lambda p: os.path.basename(p)
+)
+def test_repo_example_ini_constructs_model(ini, tmp_path):
+    """Every shipped example config parses and constructs a Model."""
+    params = set_cfg_params(ini, default_params())
+    params.update(
+        train_flag=False,
+        test_flag=False,
+        workspace_path=str(tmp_path / "ws"),
+        device="cpu",
+    )
+    Model(params=params)
+
+
 @pytest.mark.parametrize("ini", REF_INIS, ids=lambda p: os.path.basename(p))
 def test_reference_ini_constructs_model(ini, tmp_path):
     params = set_cfg_params(ini, default_params())
