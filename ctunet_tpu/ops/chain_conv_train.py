@@ -34,25 +34,15 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .packed_conv import choose_train_pack, pack_weights_jax, packed_conv3d
+from .packed_conv import (
+    _flip_swap,
+    choose_train_pack,
+    pack_pad_jax,
+    pack_weights_jax,
+    packed_conv3d,
+)
 from .pallas import conv3d as pc
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
-
-
-def _pack_pad(kernel: jax.Array, pack: int, dtype) -> jax.Array:
-    """Raw kernel -> padded packed weights (27, Cin_p, Cout_p), in-graph."""
-    k = kernel.shape[0]
-    cin, cout = kernel.shape[3], kernel.shape[4]
-    pw = pack_weights_jax(kernel, pack).astype(dtype)
-    cin_p = _round_up(pack * cin, 128)
-    cout_p = _round_up(pack * cout, 128)
-    return jnp.pad(
-        pw.reshape(k * k * 3, pack * cin, pack * cout),
-        ((0, 0), (0, cin_p - pack * cin), (0, cout_p - pack * cout)),
-    )
+from .pallas.conv3d import _round_up
 
 
 def _chain_conv_one(v: jax.Array, kernel: jax.Array, pack: int,
@@ -60,7 +50,7 @@ def _chain_conv_one(v: jax.Array, kernel: jax.Array, pack: int,
     """(D, H, W, Ci) -> (D, H, W, Co) through the chain kernel."""
     d, hh, ww, cin = v.shape
     cout = kernel.shape[-1]
-    pw = _pack_pad(kernel, pack, v.dtype)
+    pw = pack_pad_jax(kernel, pack, v.dtype)
     pb = jnp.zeros((1, pw.shape[2]), jnp.float32)
     wp = ww // pack
     xc = pc.to_chain(v.reshape(d, hh, wp, pack * cin), pack)
@@ -70,10 +60,6 @@ def _chain_conv_one(v: jax.Array, kernel: jax.Array, pack: int,
     )
     yp = pc.from_chain(yc, hh, wp, pack * cout)
     return pc.unpack_output(yp, pack, cout)
-
-
-def _flip_swap(kernel: jax.Array) -> jax.Array:
-    return jnp.flip(kernel, (0, 1, 2)).swapaxes(3, 4)
 
 
 def _supported(x, kernel) -> int:

@@ -57,6 +57,21 @@ def pack_weights_jax(kernel: jax.Array, pack: int) -> jax.Array:
     return pw.reshape(k, k, 3, pack * cin, pack * cout)
 
 
+def pack_pad_jax(kernel: jax.Array, pack: int, dtype) -> jax.Array:
+    """Raw kernel -> 128-lane-padded packed weights (k*k*3, Cin_p, Cout_p),
+    in-graph and differentiable — the operand layout every Pallas packed
+    kernel expects."""
+    k = kernel.shape[0]
+    cin, cout = kernel.shape[3], kernel.shape[4]
+    pw = pack_weights_jax(kernel, pack).astype(dtype)
+    cin_p = -(-pack * cin // 128) * 128
+    cout_p = -(-pack * cout // 128) * 128
+    return jnp.pad(
+        pw.reshape(k * k * 3, pack * cin, pack * cout),
+        ((0, 0), (0, cin_p - pack * cin), (0, cout_p - pack * cout)),
+    )
+
+
 def choose_train_pack(ww: int, cin: int, k: int = 3, target: int = 128,
                       max_pack: int = 16) -> int:
     """Largest pack dividing W with pack*Cin <= target (FLOPs inflate by
@@ -121,14 +136,8 @@ def _pallas_same_conv(x: jax.Array, kernel: jax.Array) -> jax.Array:
 
     if pack <= 1:
         return xla()
-    pw = pack_weights_jax(kernel, pack).astype(x.dtype)
-    cin_p = -(-pack * cin // 128) * 128
-    cout_p = -(-pack * cout // 128) * 128
-    pw = jnp.pad(
-        pw.reshape(k * k * 3, pack * cin, pack * cout),
-        ((0, 0), (0, cin_p - pack * cin), (0, cout_p - pack * cout)),
-    )
-    pb = jnp.zeros((1, cout_p), jnp.float32)
+    pw = pack_pad_jax(kernel, pack, x.dtype)
+    pb = jnp.zeros((1, pw.shape[2]), jnp.float32)
 
     interpret = jax.default_backend() == "cpu"
 

@@ -70,6 +70,31 @@ def test_int8_predict_falls_back_on_unchainable(monkeypatch, capsys):
     assert out2[0] == "bf16"
 
 
+def test_int8_builds_per_shape(monkeypatch):
+    """A mixed-size test set gets one quantized build per input shape
+    (the plan is shape-specific) instead of a retrace crash."""
+    from ctunet_tpu import engine_q
+
+    m = _bare_model()
+    m._maybe_engine = lambda variables, compute_dtype: (
+        lambda x: ("bf16", tuple(x.shape))
+    )
+    calib_shapes = []
+
+    def fake_build_q(mc, variables, calib, compute_dtype=None):
+        calib_shapes.append(tuple(calib.shape))
+        return lambda x: ("int8", tuple(x.shape))
+
+    monkeypatch.setattr(engine_q, "build_predict_q", fake_build_q)
+    predict = m._make_whole_volume_predict(
+        None, {"params": {}}, jnp.float32, atlas=None
+    )
+    assert predict(None, jnp.zeros((1, 8, 8, 8)))[0] == "int8"
+    assert predict(None, jnp.zeros((1, 8, 8, 16)))[0] == "int8"
+    assert predict(None, jnp.zeros((1, 8, 8, 8)))[0] == "int8"
+    assert calib_shapes == [(8, 8, 8, 1), (8, 8, 16, 1)]  # one per shape
+
+
 def test_int8_patch_predict_calibrates_central_patch(monkeypatch):
     """Patch serving: the quantized per-patch engine calibrates on the
     central patch of the first padded volume (image + atlas channels)."""

@@ -14,7 +14,9 @@ REF_INIS = sorted(
     glob.glob("/root/reference/examples/**/*.ini", recursive=True)
 )
 
-pytestmark = pytest.mark.skipif(
+# applies ONLY to the reference-INI tests below; the repo-example test
+# must run everywhere (it depends on shipped files alone)
+needs_reference = pytest.mark.skipif(
     not REF_INIS, reason="reference repo not mounted"
 )
 
@@ -44,6 +46,7 @@ def test_repo_example_ini_constructs_model(ini, tmp_path):
     Model(params=params)
 
 
+@needs_reference
 @pytest.mark.parametrize("ini", REF_INIS, ids=lambda p: os.path.basename(p))
 def test_reference_ini_constructs_model(ini, tmp_path):
     params = set_cfg_params(ini, default_params())
