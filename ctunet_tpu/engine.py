@@ -637,6 +637,69 @@ def build_sharded_predict(
     return predict
 
 
+def build_dp_predict(
+    model_class: str,
+    variables: Dict[str, Any],
+    mesh,
+    axis: str = "data",
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    int8_calib: Optional[jax.Array] = None,
+):
+    """Batch-data-parallel engine serving: each device runs the full
+    chained engine on its own volumes — serving THROUGHPUT scales with the
+    ``axis`` size (the TPU-native replacement for scaling out the
+    reference's one-GPU test loop; SURVEY.md §2 parallelism table). No
+    collectives are needed: volumes are independent, so XLA SPMD just
+    partitions the batch.
+
+    ``int8_calib``: optional (D, H, W, C) calibration volume — serves the
+    quantized engine per shard (``engine_q.build_predict_q``).
+
+    Returns ``predict(images)`` for (B, D, H, W, C) with B divisible by
+    the axis size; inputs may be host arrays (they are placed with a
+    batch sharding on entry).
+    """
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if int8_calib is not None:
+        from . import engine_q
+
+        fwd = engine_q.build_predict_q(
+            model_class, variables, int8_calib,
+            compute_dtype=compute_dtype, interpret=interpret, jit=False,
+        )
+    else:
+        fwd = build_predict(
+            model_class, variables, compute_dtype=compute_dtype,
+            interpret=interpret, jit=False,
+        )
+
+    def one_shard(images):
+        outs = [fwd(images[i]) for i in range(images.shape[0])]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+
+    sharded = shard_map(
+        one_shard, mesh=mesh,
+        in_specs=(P(axis),), out_specs=P(axis),
+        check_vma=False,
+    )
+    n = mesh.shape[axis]
+    in_sharding = NamedSharding(mesh, P(axis))
+
+    @jax.jit
+    def predict(images: jax.Array):
+        assert images.shape[0] % n == 0, (
+            f"batch {images.shape[0]} must divide by {n} '{axis}' devices"
+        )
+        return sharded(jax.lax.with_sharding_constraint(
+            images, in_sharding
+        ))
+
+    return predict
+
+
 def _build_legacy_predict(cfg, variables, compute_dtype, interpret):
     """Legacy ``recAE_v2_fixed`` family (``models.py:441-538``): k=5 biased
     convs, live center block, softmax head — via the k=5 packed-tap kernel."""

@@ -45,3 +45,37 @@ def test_sharded_engine_matches_single(rng, shards):
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(w), atol=1e-5, rtol=1e-5
         )
+
+
+def test_dp_engine_matches_single(rng):
+    """Batch-DP engine serving: two volumes over two devices equal the
+    single-device engine on each (throughput scale-out path)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    shape = (16, 16, 32)
+    m = build_model("UNetSP", compute_dtype="float32", use_checkpoint=False)
+    x0 = jnp.zeros((1, *shape, 2), jnp.float32)
+    vs = jax.jit(m.init, static_argnums=(2,))(jax.random.key(0), x0, False)
+    vs = {
+        "params": vs["params"],
+        "batch_stats": jax.tree.map(
+            lambda s: s * 1.05 + 0.01, vs["batch_stats"]
+        ),
+    }
+    x = jnp.asarray(rng.random((2, *shape, 2)).astype(np.float32))
+
+    single = engine.build_predict(
+        "UNetSP", vs, compute_dtype=jnp.float32, interpret=True
+    )
+    want = single(x)
+
+    mesh = make_mesh(2, 1, jax.devices()[:2])
+    dp = engine.build_dp_predict(
+        "UNetSP", vs, mesh, compute_dtype=jnp.float32, interpret=True
+    )
+    got = dp(x)
+    assert len(jax.tree.leaves(got)[0].sharding.device_set) == 2
+    for g, w in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), atol=1e-5, rtol=1e-5
+        )
