@@ -52,6 +52,13 @@ def supports(model_class: str) -> bool:
     return model_class in ENGINE_CONFIGS
 
 
+def _batch_unrolled(fwd, images):
+    """Apply a per-volume forward over a batch, stacking output trees
+    (the shared batching convention of every predict builder)."""
+    outs = [fwd(images[i]) for i in range(images.shape[0])]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+
+
 def _np(x) -> np.ndarray:
     return np.asarray(jax.device_get(x), np.float32)
 
@@ -569,8 +576,7 @@ def build_predict(
 
     @jax.jit
     def predict(images: jax.Array):
-        outs = [forward_one(images[i]) for i in range(images.shape[0])]
-        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+        return _batch_unrolled(forward_one, images)
 
     return predict
 
@@ -615,12 +621,8 @@ def build_sharded_predict(
     spec_in = P(None, axis)  # (B, D, H, W, C): shard depth
     spec_out = P(None, axis)
 
-    def one_shard(images):
-        outs = [fwd(images[i]) for i in range(images.shape[0])]
-        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
-
     sharded = shard_map(
-        one_shard, mesh=mesh,
+        lambda images: _batch_unrolled(fwd, images), mesh=mesh,
         in_specs=(spec_in,), out_specs=spec_out,
         check_vma=False,
     )
@@ -663,6 +665,13 @@ def build_dp_predict(
     from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    if ENGINE_CONFIGS[model_class]["family"] != "generic":
+        # the legacy builder ignores jit=False (it returns the batched
+        # jitted predict), so its per-volume forward can't ride shard_map
+        raise NotImplementedError(
+            f"DP engine serving supports the generic UNet family only, "
+            f"not '{model_class}'"
+        )
     if int8_calib is not None:
         from . import engine_q
 
@@ -676,12 +685,8 @@ def build_dp_predict(
             interpret=interpret, jit=False,
         )
 
-    def one_shard(images):
-        outs = [fwd(images[i]) for i in range(images.shape[0])]
-        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
-
     sharded = shard_map(
-        one_shard, mesh=mesh,
+        lambda images: _batch_unrolled(fwd, images), mesh=mesh,
         in_specs=(P(axis),), out_specs=P(axis),
         check_vma=False,
     )

@@ -419,7 +419,6 @@ def build_predict_q(
 
     @jax.jit
     def predict(images: jax.Array):
-        outs = [forward_one(images[i]) for i in range(images.shape[0])]
-        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+        return engine._batch_unrolled(forward_one, images)
 
     return predict

@@ -79,3 +79,25 @@ def test_dp_engine_matches_single(rng):
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(w), atol=1e-5, rtol=1e-5
         )
+
+    # int8 path under shard_map: quantized per-shard serving matches the
+    # unsharded quantized predict
+    from ctunet_tpu import engine_q
+
+    q_single = engine_q.build_predict_q(
+        "UNetSP", vs, x[0], compute_dtype=jnp.float32, interpret=True
+    )
+    want_q = q_single(x)
+    dp_q = engine.build_dp_predict(
+        "UNetSP", vs, mesh, compute_dtype=jnp.float32, interpret=True,
+        int8_calib=x[0],
+    )
+    got_q = dp_q(x)
+    for g, w in zip(jax.tree.leaves(got_q), jax.tree.leaves(want_q)):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), atol=1e-5, rtol=1e-5
+        )
+
+    # legacy family is rejected up front (its builder can't ride shard_map)
+    with pytest.raises(NotImplementedError, match="generic"):
+        engine.build_dp_predict("recAE_v2_fixed", vs, mesh)
