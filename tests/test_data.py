@@ -130,6 +130,18 @@ def test_device_prefetch_packs_binary_exactly():
     assert len(out["image"].sharding.device_set) == 2
 
 
+def test_put_packed_odd_sizes_roundtrip():
+    """Voxel counts not divisible by 8: packbits pads the final byte and
+    the device unpack must trim it (count=...) — bit-exact round trip."""
+    from ctunet_tpu.data.pipeline import put_packed_or_none
+
+    rng = np.random.default_rng(2)
+    v = (rng.random((1, 31, 65, 67)) > 0.4).astype(np.float32)
+    out = put_packed_or_none(v)
+    assert out is not None
+    np.testing.assert_array_equal(np.asarray(out), v)
+
+
 def test_device_prefetch_mixed_binary_batches():
     """A later non-binary batch for a key that started binary must still
     transfer exactly (the check runs per batch, not once)."""
