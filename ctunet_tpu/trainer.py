@@ -701,6 +701,10 @@ class Model:
                         q_by_shape[shape] = engine_q.build_predict_q(
                             self.params["model_class"], variables, x[0],
                             compute_dtype=compute_dtype,
+                            calib_quantile=float(
+                                self.params.get("int8_calib_quantile")
+                                or 1.0
+                            ),
                         )
                         print(
                             f"serving: calibrated int8 engine for {shape}."
@@ -759,6 +763,10 @@ class Model:
                         q = engine_q.build_predict_q(
                             self.params["model_class"], variables,
                             calib, compute_dtype=compute_dtype,
+                            calib_quantile=float(
+                                self.params.get("int8_calib_quantile")
+                                or 1.0
+                            ),
                         )
                         apply_fn = lambda v, x: q(x)  # noqa: E731
                         print("patch serving: calibrated int8 engine.")

@@ -75,6 +75,7 @@ def default_params() -> Dict[str, Any]:
         "use_int8": False,            # calibrated int8 serving engine
                                       # (PTQ; calibrates on the first test
                                       # volume, falls back to bf16 engine)
+        "int8_calib_quantile": 1.0,   # <1: clipped (quantile) calibration
         "train_patch_size": 0,        # >0: random-crop patch training
         "prefetch_depth": 2,          # host->device pipeline depth
         "debug_nans": False,          # jax.debug_nans (ref: detect_anomaly)

@@ -30,7 +30,8 @@ def test_int8_predict_lazy_calibration(monkeypatch):
     )
     calls = {"n": 0}
 
-    def fake_build_q(mc, variables, calib, compute_dtype=None):
+    def fake_build_q(mc, variables, calib, compute_dtype=None,
+                     calib_quantile=1.0):
         calls["n"] += 1
         calls["calib_shape"] = tuple(calib.shape)
         return lambda x: ("int8", tuple(x.shape))
@@ -55,7 +56,8 @@ def test_int8_predict_falls_back_on_unchainable(monkeypatch, capsys):
         lambda x: ("bf16", tuple(x.shape))
     )
 
-    def fake_build_q(mc, variables, calib, compute_dtype=None):
+    def fake_build_q(mc, variables, calib, compute_dtype=None,
+                     calib_quantile=1.0):
         raise ValueError("needs chainable pooling")
 
     monkeypatch.setattr(engine_q, "build_predict_q", fake_build_q)
@@ -81,7 +83,8 @@ def test_int8_builds_per_shape(monkeypatch):
     )
     calib_shapes = []
 
-    def fake_build_q(mc, variables, calib, compute_dtype=None):
+    def fake_build_q(mc, variables, calib, compute_dtype=None,
+                     calib_quantile=1.0):
         calib_shapes.append(tuple(calib.shape))
         return lambda x: ("int8", tuple(x.shape))
 
@@ -107,7 +110,8 @@ def test_int8_patch_predict_calibrates_central_patch(monkeypatch):
     )
     calls = {}
 
-    def fake_build_q(mc, variables, calib, compute_dtype=None):
+    def fake_build_q(mc, variables, calib, compute_dtype=None,
+                     calib_quantile=1.0):
         calls["calib_shape"] = tuple(calib.shape)
         return lambda x: ("int8", tuple(x.shape))
 

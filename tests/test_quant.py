@@ -118,6 +118,34 @@ def test_int8_engine_close_to_bf16_engine(rng):
         assert agree > 0.99, agree
 
 
+def test_int8_engine_quantile_calibration(rng):
+    """Clipped (quantile) calibration builds and stays close to the
+    max-calibrated engine on well-behaved activations (outlier clipping
+    only diverges when outliers exist)."""
+    from ctunet_tpu import engine_q
+    from ctunet_tpu.models import build_model
+
+    shape = (16, 16, 32)
+    m = build_model("UNetSP", compute_dtype="float32", use_checkpoint=False)
+    x0 = jnp.zeros((1, *shape, 2), jnp.float32)
+    vs = jax.jit(m.init, static_argnums=(2,))(jax.random.key(0), x0, False)
+    x = jnp.asarray((rng.random((1, *shape, 2)) > 0.6).astype(np.float32))
+    pq_max = engine_q.build_predict_q(
+        "UNetSP", vs, x[0], compute_dtype=jnp.float32, interpret=True
+    )
+    pq_clip = engine_q.build_predict_q(
+        "UNetSP", vs, x[0], compute_dtype=jnp.float32, interpret=True,
+        calib_quantile=0.999,
+    )
+    a = pq_max(x)
+    b = pq_clip(x)
+    for ga, gb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        ga = np.asarray(ga, np.float32)
+        gb = np.asarray(gb, np.float32)
+        assert np.mean(np.abs(ga - gb)) < 0.03
+        assert np.mean(np.argmax(ga, -1) == np.argmax(gb, -1)) > 0.99
+
+
 def test_int8_engine_rejects_unchainable():
     """Shapes outside the plan must raise (callers fall back to the bf16
     engine): an odd H at a pool level is unplannable. The static plan
