@@ -63,14 +63,15 @@ def calibrate(
 
     :param calib_volume: (D, H, W, Cin) representative input (NOT batched).
     :param quantile: 1.0 (default) records plain maxima; < 1.0 records
-        the per-lane |t| quantile instead — clipped calibration: trained
-        checkpoints develop activation OUTLIERS that widen the max-based
-        range and cost int8 resolution for the bulk (measured: flap-mask
-        parity 0.988 on a 3k-step checkpoint vs 0.935 on a 10k one,
-        BASELINE.md). Out-of-range activations saturate at the requant
-        clamp, which is exactly clipped calibration's intent. Chain
-        tensors carry halo/pad zeros (~20% of rows) which only lower the
-        quantile slightly — harmless for outlier clipping.
+        the per-lane |t| quantile instead (clipped calibration;
+        out-of-range activations saturate at the requant clamp). MEASURED:
+        on this model family clipping HURTS — a 10k-step checkpoint's
+        flap-mask parity fell from 0.935 (max) to 0.894 (q=0.9995),
+        because the largest activations carry real signal rather than
+        being spurious outliers (BASELINE.md parity table). The knob
+        stays for other weight regimes; default to max calibration.
+        Chain tensors carry halo/pad zeros (~20% of rows) which only
+        lower the quantile slightly.
     """
     records: List[np.ndarray] = []
 

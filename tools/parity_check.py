@@ -120,12 +120,19 @@ def main():
         np.stack([np.asarray(calib_broken, np.float32), atlas], -1),
         jnp.bfloat16,
     )
-    q_sk = q_fl = None
+    q_sk = q_fl = qc_sk = qc_fl = None
     try:
         predict_q = engine_q.build_predict_q("UNetSP", variables, calib)
         outs_q = predict_q(jnp.asarray(x_all, jnp.bfloat16))
         q_sk = np.argmax(np.asarray(outs_q[0], np.float32), -1)
         q_fl = np.argmax(np.asarray(outs_q[1], np.float32), -1)
+        # clipped (quantile) calibration: bounds activation-outlier damage
+        predict_qc = engine_q.build_predict_q(
+            "UNetSP", variables, calib, calib_quantile=0.9995
+        )
+        outs_qc = predict_qc(jnp.asarray(x_all, jnp.bfloat16))
+        qc_sk = np.argmax(np.asarray(outs_qc[0], np.float32), -1)
+        qc_fl = np.argmax(np.asarray(outs_qc[1], np.float32), -1)
     except Exception as e:
         print(f"int8 engine skipped: {type(e).__name__}: {e}", flush=True)
     # and a true-f32 forward (f32-built model, same params) for a
@@ -187,6 +194,13 @@ def main():
                 "dice_fl_engine_int8": round(dice(q_fl, ref_fl), 6),
             }
             if q_sk is not None else {}
+        ),
+        **(
+            {
+                "dice_sk_engine_int8_q9995": round(dice(qc_sk, ref_sk), 6),
+                "dice_fl_engine_int8_q9995": round(dice(qc_fl, ref_fl), 6),
+            }
+            if qc_sk is not None else {}
         ),
         "foreground_voxels_sk": int((ref_sk > 0).sum()),
         "foreground_voxels_fl": int((ref_fl > 0).sum()),
