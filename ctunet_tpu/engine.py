@@ -257,7 +257,7 @@ def build_predict(
     cfg = ENGINE_CONFIGS[model_class]
     if cfg["family"] == "legacy":
         return _build_legacy_predict(
-            cfg, variables, compute_dtype, interpret
+            cfg, variables, compute_dtype, interpret, jit=jit
         )
     n_blocks = cfg["n_blocks"]
     params = variables["params"]["unet"]
@@ -606,9 +606,16 @@ def build_sharded_predict(
     from .parallel.halo import make_halo_fn
 
     if ENGINE_CONFIGS[model_class]["family"] != "generic":
+        # Documented scope limit (README "Serving" / PARITY.md): the
+        # depth-sharded fast path rides the chained layout's explicit
+        # halo planes, which the legacy k=5 family doesn't use. Legacy
+        # models still serve single-chip (build_predict) and batch-DP
+        # (build_dp_predict); beyond-HBM legacy volumes use the
+        # sliding-window fallback.
         raise NotImplementedError(
             f"sharded engine supports the generic UNet family only, not "
-            f"'{model_class}' (the legacy path has no chained layout)"
+            f"'{model_class}' (the legacy path has no chained layout; "
+            f"use build_dp_predict or sliding-window patching)"
         )
     n = mesh.shape[axis]
     halo_fn = make_halo_fn(axis, n)
@@ -656,7 +663,10 @@ def build_dp_predict(
     partitions the batch.
 
     ``int8_calib``: optional (D, H, W, C) calibration volume — serves the
-    quantized engine per shard (``engine_q.build_predict_q``).
+    quantized engine per shard (``engine_q.build_predict_q``; generic
+    family only — with a legacy model it raises that builder's
+    ValueError). Both engine families (generic chained + legacy k=5)
+    support the bf16 DP path.
 
     Returns ``predict(images)`` for (B, D, H, W, C) with B divisible by
     the axis size; inputs may be host arrays (they are placed with a
@@ -665,13 +675,6 @@ def build_dp_predict(
     from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    if ENGINE_CONFIGS[model_class]["family"] != "generic":
-        # the legacy builder ignores jit=False (it returns the batched
-        # jitted predict), so its per-volume forward can't ride shard_map
-        raise NotImplementedError(
-            f"DP engine serving supports the generic UNet family only, "
-            f"not '{model_class}'"
-        )
     if int8_calib is not None:
         from . import engine_q
 
@@ -705,9 +708,15 @@ def build_dp_predict(
     return predict
 
 
-def _build_legacy_predict(cfg, variables, compute_dtype, interpret):
+def _build_legacy_predict(cfg, variables, compute_dtype, interpret,
+                          jit: bool = True):
     """Legacy ``recAE_v2_fixed`` family (``models.py:441-538``): k=5 biased
-    convs, live center block, softmax head — via the k=5 packed-tap kernel."""
+    convs, live center block, softmax head — via the k=5 packed-tap kernel.
+
+    ``jit=False`` returns the raw per-volume ``forward_one`` (same
+    convention as the generic builder) so it can ride ``shard_map`` in
+    :func:`build_dp_predict`.
+    """
     params = variables["params"]
     stats = variables["batch_stats"]
 
@@ -755,9 +764,11 @@ def _build_legacy_predict(cfg, variables, compute_dtype, interpret):
             compute_dtype
         )
 
+    if not jit:
+        return forward_one
+
     @jax.jit
     def predict(images: jax.Array):
-        outs = [forward_one(images[i]) for i in range(images.shape[0])]
-        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+        return _batch_unrolled(forward_one, images)
 
     return predict

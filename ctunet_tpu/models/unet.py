@@ -183,7 +183,7 @@ class _ConvT2x2(nn.Module):
     load unchanged. With stride == kernel size the output decomposes
     exactly (no overlap): ``out[2z+a,2y+b,2x+c,o] = sum_i x[z,y,x,i] *
     k[a,b,c,o,i]`` (no spatial flip; verified against flax in
-    tests/test_engine.py::test_conv_transpose_helper_matches_flax). The
+    tests/test_models.py::test_convt2x2_matches_flax_convtranspose). The
     einsum's forward AND backward are plain MXU contractions — XLA's
     transposed-conv lowering instead emitted full-volume layout copies and
     a `reverse` in the backward (~100 ms/step at 224x304x304)."""

@@ -768,6 +768,10 @@ def _chain_kernel_ring_q(x_hbm, w_ref, s_ref, b_ref, out_hbm, slab, acc,
     res = res * s_ref[0][None, :] + b_ref[0][None, :]
     if relu:
         res = jnp.maximum(res, 0.0)
+    else:
+        # without the ReLU lower bound a large negative requantized value
+        # would wrap on the int8 cast below — clamp symmetrically
+        res = jnp.maximum(res, -127.0)
     res = jnp.minimum(res, 127.0)
     col = jax.lax.broadcasted_iota(jnp.int32, (rout, 1), 0) % wpad
     res = jnp.where(col < wp, res, 0.0)

@@ -269,12 +269,17 @@ class FlapRecWithShapePriorDoubleOut(ImageTargetProblem):
         """Hausdorff distance (display metric; host EDT — see ops.losses)."""
         out = {}
         if cfg.get("save_hd_plots"):
+            # argmax on DEVICE: softmax is argmax-invariant, so only the
+            # uint8 label maps cross the host link (not f32 probability +
+            # one-hot volumes — ~60x less traffic at full resolution)
             full_p, flap_p = prediction
             full_t, flap_t = target
-            full_sm = jax.nn.softmax(full_p, axis=-1)
-            flap_sm = jax.nn.softmax(flap_p, axis=-1)
-            out["hd_coef_sk"] = losses.hausdorff(full_sm, full_t)
-            out["hd_coef_fl"] = losses.hausdorff(flap_sm, flap_t)
+            out["hd_coef_sk"] = losses.hausdorff_device_argmax(
+                full_p, full_t
+            )
+            out["hd_coef_fl"] = losses.hausdorff_device_argmax(
+                flap_p, flap_t
+            )
         return out
 
     def write_predictions(self, predictions, input_filepaths,

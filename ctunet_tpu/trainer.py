@@ -333,6 +333,11 @@ class Model:
 
         self._variables = variables
 
+        if self.params.get("show_model_summary"):
+            from .utils.misc import model_summary
+
+            model_summary(model, variables, dummy.shape)
+
     def _load_variables(self, path: str):
         """Load from orbax dir or reference torch .pt (ref
         ``Model.load_model``, ``Model.py:448-472``, incl. the fallback to
@@ -531,6 +536,13 @@ class Model:
         loader = self.data["validation_loader"]
         handler = self.problem_handler
         want_hd = bool(self.params.get("save_hd_plots"))
+        if want_hd and not getattr(self, "_hd_warned", False):
+            self._hd_warned = True
+            print(
+                "  note: save_hd_plots computes an exact host-side "
+                "Hausdorff EDT per val batch (label maps fetched as "
+                "uint8); at large volumes this adds seconds per batch."
+            )
         for idx, batch in enumerate(
             device_prefetch(iter(loader), sharding=self._data_sharding)
         ):
@@ -698,7 +710,7 @@ class Model:
                     from . import engine_q
 
                     try:
-                        q_by_shape[shape] = engine_q.build_predict_q(
+                        qfn = engine_q.build_predict_q(
                             self.params["model_class"], variables, x[0],
                             compute_dtype=compute_dtype,
                             calib_quantile=float(
@@ -706,10 +718,22 @@ class Model:
                                 or 1.0
                             ),
                         )
+                        # the returned jitted fn traces lazily on first
+                        # call — force the trace NOW so trace-time
+                        # failures (VMEM tile-fit ValueError, Pallas
+                        # shape asserts) hit this guard and fall back
+                        # instead of crashing serving later
+                        jax.eval_shape(qfn, x)
+                        q_by_shape[shape] = qfn
                         print(
                             f"serving: calibrated int8 engine for {shape}."
+                            " note: int8 PTQ can flip boundary voxels on"
+                            " thin structures (measured flap-mask Dice"
+                            " 0.93-0.99 vs the bf16 engine's >=0.99,"
+                            " checkpoint-dependent; see PARITY.md) —"
+                            " serve bf16 where mask parity matters."
                         )
-                    except (ValueError, KeyError) as e:
+                    except (ValueError, KeyError, AssertionError) as e:
                         q_by_shape[shape] = None
                         print(
                             f"int8 engine unavailable ({e}); "
@@ -768,9 +792,13 @@ class Model:
                                 or 1.0
                             ),
                         )
+                        # force the trace inside the guard (see the
+                        # whole-volume path): trace-time tile-fit /
+                        # shape failures fall back instead of crashing
+                        jax.eval_shape(q, calib[None])
                         apply_fn = lambda v, x: q(x)  # noqa: E731
                         print("patch serving: calibrated int8 engine.")
-                    except (ValueError, KeyError) as e:
+                    except (ValueError, KeyError, AssertionError) as e:
                         print(
                             f"int8 engine unavailable ({e}); "
                             "serving patches on the bf16 engine."

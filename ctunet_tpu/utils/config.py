@@ -58,7 +58,9 @@ def default_params() -> Dict[str, Any]:
         "save_hd_plots": False,       # dynamic key in the reference
         "scheduler": None,            # dynamic key in the reference
         "resume_model": "",
-        "show_model_summary": None,
+        "show_model_summary": None,   # param table + FLOPs at model init
+                                      # (the ref's consumer is commented
+                                      # out, Model.py:354-358; live here)
         "n_workers": None,
         "force_resumed": False,
         # TPU-NATIVE EXTENSIONS [tpu]

@@ -20,7 +20,7 @@ from __future__ import annotations
 import gzip
 import struct
 from dataclasses import dataclass, field
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -87,12 +87,10 @@ class NiftiImage:
         return NiftiImage(np.asarray(data), self.affine.copy())
 
 
-def _open(path: str, mode: str):
+def _open(path: str, mode: str, compresslevel: int = 9):
     if str(path).endswith(".gz"):
-        # level 1 on writes: binary masks/skulls compress to within a few
-        # percent of level 9 at ~5x the throughput (serving-path hot spot)
         if "w" in mode:
-            return gzip.open(path, mode, compresslevel=1)
+            return gzip.open(path, mode, compresslevel=compresslevel)
         return gzip.open(path, mode)
     return open(path, mode)
 
@@ -183,8 +181,16 @@ def _affine_from_header(endian, raw, sform_code, qform_code, pixdim, shape_xyz):
     return affine
 
 
-def write(path: str, img: NiftiImage) -> None:
-    """Write a ``.nii`` / ``.nii.gz`` file with full affine preservation."""
+def write(path: str, img: NiftiImage,
+          compresslevel: Optional[int] = None) -> None:
+    """Write a ``.nii`` / ``.nii.gz`` file with full affine preservation.
+
+    ``compresslevel`` controls gzip effort for ``.nii.gz`` targets. The
+    default picks per dtype: level 1 for uint8 (binary masks — within a
+    few percent of level 9 at ~5x the throughput, the serving hot path)
+    and level 6 for everything else (float/int volumes compress much
+    better at moderate effort).
+    """
     data = np.ascontiguousarray(img.data)
     if data.ndim != 3:
         raise ValueError(f"expected 3D [z,y,x] data, got shape {data.shape}")
@@ -215,7 +221,9 @@ def write(path: str, img: NiftiImage) -> None:
     struct.pack_into("<4f", hdr, 312, *affine[2, :])
     hdr[344:348] = _MAGIC_SINGLE
 
-    with _open(path, "wb") as f:
+    if compresslevel is None:
+        compresslevel = 1 if data.dtype == np.uint8 else 6
+    with _open(path, "wb", compresslevel=compresslevel) as f:
         f.write(bytes(hdr))
         f.write(b"\x00\x00\x00\x00")  # extension flag -> offset 352
         f.write(data.tobytes())

@@ -98,6 +98,47 @@ def test_dp_engine_matches_single(rng):
             np.asarray(g), np.asarray(w), atol=1e-5, rtol=1e-5
         )
 
-    # legacy family is rejected up front (its builder can't ride shard_map)
-    with pytest.raises(NotImplementedError, match="generic"):
-        engine.build_dp_predict("recAE_v2_fixed", vs, mesh)
+
+def test_dp_engine_legacy_family(rng):
+    """The legacy k=5 family also rides batch-DP serving (its builder
+    exposes the per-volume forward via jit=False); int8 stays
+    generic-only with a clear error."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    shape = (16, 16, 32)
+    m = build_model(
+        "recAE_v2_fixed", compute_dtype="float32", use_checkpoint=False
+    )
+    x0 = jnp.zeros((1, *shape, 1), jnp.float32)
+    vs = jax.jit(m.init, static_argnums=(2,))(jax.random.key(0), x0, False)
+    vs = {
+        "params": vs["params"],
+        "batch_stats": jax.tree.map(
+            lambda s: s * 1.05 + 0.01, vs["batch_stats"]
+        ),
+    }
+    x = jnp.asarray(rng.random((2, *shape, 1)).astype(np.float32))
+
+    single = engine.build_predict(
+        "recAE_v2_fixed", vs, compute_dtype=jnp.float32, interpret=True
+    )
+    want = single(x)
+
+    mesh = make_mesh(2, 1, jax.devices()[:2])
+    dp = engine.build_dp_predict(
+        "recAE_v2_fixed", vs, mesh, compute_dtype=jnp.float32,
+        interpret=True,
+    )
+    got = dp(x)
+    assert len(jax.tree.leaves(got)[0].sharding.device_set) == 2
+    for g, w in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), atol=1e-5, rtol=1e-5
+        )
+
+    # int8 DP with a legacy model: the quantized builder's documented
+    # scope error propagates (generic family only)
+    with pytest.raises(ValueError, match="generic"):
+        engine.build_dp_predict(
+            "recAE_v2_fixed", vs, mesh, interpret=True, int8_calib=x[0]
+        )

@@ -34,18 +34,20 @@ def test_int8_predict_lazy_calibration(monkeypatch):
                      calib_quantile=1.0):
         calls["n"] += 1
         calls["calib_shape"] = tuple(calib.shape)
-        return lambda x: ("int8", tuple(x.shape))
+        # must be jax-traceable: the trainer now force-traces the built
+        # fn (jax.eval_shape) inside its fallback guard
+        return lambda x: (jnp.asarray(8), tuple(x.shape))
 
     monkeypatch.setattr(engine_q, "build_predict_q", fake_build_q)
     predict = m._make_whole_volume_predict(
         None, {"params": {}}, jnp.float32, atlas=np.ones((8, 8, 8))
     )
     out = predict(None, jnp.zeros((1, 8, 8, 8)))
-    assert out[0] == "int8"
+    assert int(out[0]) == 8
     # calibrated on the first volume: (D, H, W, image+atlas)
     assert calls["calib_shape"] == (8, 8, 8, 2)
     out2 = predict(None, jnp.zeros((1, 8, 8, 8)))
-    assert out2[0] == "int8" and calls["n"] == 1  # built once, reused
+    assert int(out2[0]) == 8 and calls["n"] == 1  # built once, reused
 
 
 def test_int8_predict_falls_back_on_unchainable(monkeypatch, capsys):
@@ -86,15 +88,15 @@ def test_int8_builds_per_shape(monkeypatch):
     def fake_build_q(mc, variables, calib, compute_dtype=None,
                      calib_quantile=1.0):
         calib_shapes.append(tuple(calib.shape))
-        return lambda x: ("int8", tuple(x.shape))
+        return lambda x: (jnp.asarray(8), tuple(x.shape))
 
     monkeypatch.setattr(engine_q, "build_predict_q", fake_build_q)
     predict = m._make_whole_volume_predict(
         None, {"params": {}}, jnp.float32, atlas=None
     )
-    assert predict(None, jnp.zeros((1, 8, 8, 8)))[0] == "int8"
-    assert predict(None, jnp.zeros((1, 8, 8, 16)))[0] == "int8"
-    assert predict(None, jnp.zeros((1, 8, 8, 8)))[0] == "int8"
+    assert int(predict(None, jnp.zeros((1, 8, 8, 8)))[0]) == 8
+    assert int(predict(None, jnp.zeros((1, 8, 8, 16)))[0]) == 8
+    assert int(predict(None, jnp.zeros((1, 8, 8, 8)))[0]) == 8
     assert calib_shapes == [(8, 8, 8, 1), (8, 8, 16, 1)]  # one per shape
 
 
@@ -113,7 +115,7 @@ def test_int8_patch_predict_calibrates_central_patch(monkeypatch):
     def fake_build_q(mc, variables, calib, compute_dtype=None,
                      calib_quantile=1.0):
         calls["calib_shape"] = tuple(calib.shape)
-        return lambda x: ("int8", tuple(x.shape))
+        return lambda x: (jnp.asarray(8), tuple(x.shape))
 
     monkeypatch.setattr(engine_q, "build_predict_q", fake_build_q)
 
@@ -131,7 +133,7 @@ def test_int8_patch_predict_calibrates_central_patch(monkeypatch):
     )
     out = predict(None, jnp.zeros((1, 16, 16, 16)))
     assert calls["calib_shape"] == (8, 8, 8, 2)
-    assert out[1][0] == "int8"  # the built apply_fn serves int8
+    assert int(out[1][0]) == 8  # the built apply_fn serves int8
 
 
 def test_int8_patch_predict_fallback(monkeypatch, capsys):
@@ -170,3 +172,32 @@ def test_int8_off_by_default():
         None, {"params": {}}, jnp.float32, atlas=None
     )
     assert predict(None, jnp.zeros((1, 8, 8, 8)))[0] == "bf16"
+
+
+def test_int8_falls_back_on_trace_time_failure(monkeypatch, capsys):
+    """build_predict_q succeeding but the returned fn failing at TRACE
+    time (VMEM tile-fit ValueError, Pallas shape assert) must also fall
+    back to bf16 — the trainer force-traces inside its guard (ADVICE r1)."""
+    from ctunet_tpu import engine_q
+
+    m = _bare_model()
+    m._maybe_engine = lambda variables, compute_dtype: (
+        lambda x: ("bf16", tuple(x.shape))
+    )
+
+    def fake_build_q(mc, variables, calib, compute_dtype=None,
+                     calib_quantile=1.0):
+        def fn(x):
+            raise AssertionError("chain plan shape assert fires on trace")
+        return fn
+
+    monkeypatch.setattr(engine_q, "build_predict_q", fake_build_q)
+    predict = m._make_whole_volume_predict(
+        None, {"params": {}}, jnp.float32, atlas=None
+    )
+    out = predict(None, jnp.zeros((1, 8, 8, 8)))
+    assert out[0] == "bf16"  # fell back instead of crashing serving
+    assert "int8 engine unavailable" in capsys.readouterr().out
+    # the failed build is cached: no rebuild on the second volume
+    out2 = predict(None, jnp.zeros((1, 8, 8, 8)))
+    assert out2[0] == "bf16"

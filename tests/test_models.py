@@ -175,3 +175,45 @@ def test_maxpool_custom_vjp_gradient(rng):
     np.testing.assert_allclose(
         np.asarray(g_ours), np.asarray(g_ref), atol=1e-6
     )
+
+
+def test_convt2x2_matches_flax_convtranspose(rng):
+    """_ConvT2x2 (einsum + depth-to-space) == nn.ConvTranspose with the
+    SAME params: identical init param shapes, identical outputs.
+
+    This module replaces nn.ConvTranspose for every k2s2 upconv in the
+    shipped variants and must stay checkpoint/param-identical (torch
+    ConvTranspose3d weights port through it bit-exactly)."""
+    import flax.linen as nn
+
+    from ctunet_tpu.models.unet import _ConvT2x2
+
+    feat, cin = 5, 3
+    x = jnp.asarray(rng.random((2, 4, 6, 8, cin)).astype(np.float32))
+
+    ours = _ConvT2x2(feat)
+    ref = nn.ConvTranspose(
+        feat, (2, 2, 2), strides=(2, 2, 2), padding="VALID",
+        transpose_kernel=True, use_bias=True,
+    )
+    v_ours = ours.init(jax.random.PRNGKey(0), x)
+    v_ref = ref.init(jax.random.PRNGKey(0), x)
+
+    # param structure identical: same names, shapes, dtypes
+    s_ours = jax.tree.map(lambda a: (a.shape, a.dtype), v_ours["params"])
+    s_ref = jax.tree.map(lambda a: (a.shape, a.dtype), v_ref["params"])
+    assert s_ours == s_ref
+
+    # share the REF params into ours: outputs must match
+    y_ours = ours.apply(v_ref, x)
+    y_ref = ref.apply(v_ref, x)
+    assert y_ours.shape == y_ref.shape == (2, 8, 12, 16, feat)
+    np.testing.assert_allclose(
+        np.asarray(y_ours), np.asarray(y_ref), atol=1e-5
+    )
+
+    # unbatched (4D) input path
+    y4 = ours.apply(v_ref, x[0])
+    np.testing.assert_allclose(
+        np.asarray(y4), np.asarray(y_ref[0]), atol=1e-5
+    )

@@ -1,0 +1,78 @@
+"""Sharded-vs-single EQUALITY through the public ``Model`` train loop.
+
+VERDICT r1 item 2: the multi-chip integration checks must assert
+equality, not finiteness. Two epochs of the constructor-runs-everything
+entry point with ``i_mesh_data = 2`` must reproduce the single-device
+loss history (same seed, same data, same synthesis RNG).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from ctunet_tpu import Model
+from ctunet_tpu.data import make_dataset, spherical_shell
+from ctunet_tpu.data.atlas import register_atlas
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mc_eq")
+    csv = make_dataset(str(root / "data"), n=4, shape=(32, 32, 32), seed=11)
+    register_atlas((32, 32, 32), spherical_shell((32, 32, 32)))
+    return root, csv
+
+
+def _params(root, csv, tag, **over):
+    p = dict(
+        train_flag=True,
+        test_flag=False,
+        name=f"mc_eq_{tag}",
+        model_class="UNetSP",
+        problem_handler="FlapRecWithShapePriorDoubleOut",
+        device="cpu",
+        n_epochs=2,
+        batch_size=2,
+        dice_lambda=1.0,
+        ce_lambda=1.0,
+        optimizer="adam",
+        learning_rate=1e-3,
+        momentum=0.99,
+        weight_decay=0.0,
+        workspace_path=str(root / f"ws_{tag}"),
+        train_files_csv=csv,
+        validation_files_csv=csv,
+        test_files_csv=csv,
+        autosave_epochs=0,
+        save_dice_plots=True,
+        n_workers=2,
+        compute_dtype="float32",
+        remat=False,
+        log_every=0,
+        seed=0,
+    )
+    p.update(over)
+    return p
+
+
+def test_model_loop_dp_matches_single(synth):
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    root, csv = synth
+
+    m1 = Model(params=_params(root, csv, "single", mesh_data=1))
+    m2 = Model(params=_params(root, csv, "dp2", mesh_data=2))
+
+    h1 = m1.writer.history
+    h2 = m2.writer.history
+    for key in ("train/epoch/epoch_loss", "val/epoch/epoch_loss",
+                "train/epoch/dice_loss_sk", "val/epoch/dice_coef_sk"):
+        a = [v for _, v in h1[key]] if isinstance(
+            h1[key][0], tuple) else list(h1[key])
+        b = [v for _, v in h2[key]] if isinstance(
+            h2[key][0], tuple) else list(h2[key])
+        assert len(a) == len(b) == 2, key
+        np.testing.assert_allclose(
+            a, b, rtol=2e-4, atol=2e-5,
+            err_msg=f"{key}: DP-2 history diverged from single-device",
+        )
