@@ -238,13 +238,10 @@ def measure_train(n_iters: int = 6) -> float:
     """Training-step throughput at the reference's 128-res train config
     (UNetSP, 64x128x128, batch 1, Adam, Dice+CE;
     ``examples/UNetSPDO/FlapRecSP2O_128.ini``), with on-device synthesis
-    fused into the step. Secondary metric.
-
-    NOTE: the 224x304x304 *training* config currently OOMs on one 16GB v5e:
-    XLA's conv-backward materializes thin-channel temps with 18x lane
-    padding (see BASELINE.md). Inference at that size works (whole-volume);
-    full-res training needs the packed-conv formulation on the training
-    path (round-2 work)."""
+    fused into the step. Secondary metric. The 224x304x304 whole-volume
+    training config also runs on one 16GB v5e (the thin-channel layout
+    pathologies were fixed in model code — BASELINE.md round 2); time it
+    with ``tools/bench_train_fullres.py``."""
     import jax
 
     jax.config.update(

@@ -177,6 +177,7 @@ def build_predict_q(
     interpret: bool = False,
     jit: bool = True,
     calib_quantile: float = 1.0,
+    bf16_tail: int = 0,
 ):
     """Build a jitted int8 ``predict(images)`` for (B, D, H, W, C) inputs.
 
@@ -186,11 +187,23 @@ def build_predict_q(
     exhausted packs) — callers fall back to ``engine.build_predict``.
     ``calib_quantile < 1`` switches to clipped (quantile) calibration —
     see :func:`calibrate`.
+
+    ``bf16_tail``: number of FINAL decoder blocks (upconv + second unit)
+    served in bf16 inside the otherwise-int8 chain — the
+    mixed-precision tail. PTQ's mask-parity loss concentrates in the
+    full-resolution decode layers that place the sliver-thin flap
+    boundary; dequantizing the chain once (one per-lane multiply —
+    int8 lanes are exact in bf16) and running the last block(s) with
+    the bf16 engine's fused kernels recovers it while the encoder and
+    deep decoder keep the int8 MXU rate. 0 = fully int8 (fastest);
+    ``n_blocks`` = int8 encoder + bf16 decoder.
     """
     cfg = engine.ENGINE_CONFIGS[model_class]
     if cfg["family"] != "generic":
         raise ValueError("int8 engine supports the generic UNet family only")
     n_blocks = cfg["n_blocks"]
+    bf16_tail = max(0, min(int(bf16_tail), n_blocks))
+    switch = n_blocks - bf16_tail  # first decoder idx served in bf16
     head = cfg["head"]
     params = variables["params"]["unet"]
     stats = variables["batch_stats"]["unet"]
@@ -306,25 +319,65 @@ def build_predict_q(
     # are invariant to repacks (packed positions of a channel share one
     # scale by construction), so only the pack bookkeeping follows plan_dec
     dec_q = []
+    s_a_list = []  # channel scales of a_chain ENTERING each decoder idx
     s_a = s_cur  # bottleneck = pooled d{n-1}.unit1
     for idx in range(n_blocks):
         i = n_blocks - 1 - idx
+        s_a_list.append(s_a)
         pa = plan_dec[idx][1]
         ca = None if idx == 0 else u_units[idx - 1][1].cout
         s_b = None if idx == 0 else skips_s[i + 1]
         c_up = u_units[idx][0].cout + 1
         s_up = _chan_scales(next_rec(), 2 * pa, c_up)
         s_up[-1] = _Q1
-        qu = _quant_upconv(
-            up_raw[idx], u_units[idx][0], ca, s_a, s_b, s_up, pa
-        )
         c1 = u_units[idx][1].cout + 1
         s_u1 = _chan_scales(next_rec(), 2 * pa, c1)
         s_u1[-1] = _Q1
-        q1 = _quant_conv(u_units[idx][1], s_up, s_u1, 2 * pa)
-        dec_q.append((qu, q1))
+        if idx < switch:
+            qu = _quant_upconv(
+                up_raw[idx], u_units[idx][0], ca, s_a, s_b, s_up, pa
+            )
+            q1 = _quant_conv(u_units[idx][1], s_up, s_u1, 2 * pa)
+            dec_q.append((qu, q1))
+        else:
+            dec_q.append(None)  # served bf16 (mixed-precision tail)
         s_a = s_u1
     assert cursor["i"] == len(records), (cursor["i"], len(records))
+
+    # ---- bf16 tail assets: the bf16 engine's fused upconv matrices for
+    # the tail blocks (identical math to engine._get_upconv_mats)
+    bf16_up: Dict[int, Any] = {}
+    for idx in range(switch, n_blocks):
+        kk, bb = up_raw[idx]
+        bcol = np.broadcast_to(
+            np.asarray(bb, np.float32)[None, None, None, :, None],
+            kk.shape[:4] + (1,),
+        ).copy()
+        if idx == 0:
+            kT_aug = np.concatenate([kk, bcol], -1)
+            ci_split = None
+        else:
+            ca = u_units[idx - 1][1].cout
+            zcol = np.zeros_like(bcol)
+            kT_aug = np.concatenate(
+                [kk[..., :ca], bcol, kk[..., ca:], zcol], -1
+            )
+            ci_split = ca + 1
+        w0a, s0a, b0a = u_units[idx][0]._aug(False, True)
+        r = uc.composite_response(kT_aug, w0a, s0a)
+        ma, mb = uc.build_upconv_matrices(r, plan_dec[idx][1], ci_split)
+        bf16_up[idx] = (
+            jnp.asarray(ma),
+            None if mb is None else jnp.asarray(mb),
+            jnp.asarray(uc.pack_out_bias(b0a, 2 * plan_dec[idx][1])),
+        )
+
+    def _dequant_vec(s_chan: np.ndarray, pack: int, cp: int) -> jax.Array:
+        """Per-lane dequant multiplier for a chained int8 tensor: lanes
+        are pack-major x channel, padded with zeros to the 128-lane
+        boundary (halo/pad lanes hold int8 zeros, so any factor works)."""
+        v = np.tile(s_chan.astype(np.float32), pack)
+        return jnp.asarray(np.pad(v, (0, cp - v.size)))
 
     # ---- head: fold dequant scales into the block-diag matrices ---------
     ca_f = u_units[-1][1].cout
@@ -336,7 +389,10 @@ def build_predict_q(
     zrow = np.zeros((1, lc_k.shape[1]), np.float32)
     m_a = np.kron(eye, np.concatenate([lc_k[:ca_f], zrow]))
     m_b = np.kron(eye, np.concatenate([lc_k[ca_f: ca_f + cb_f], zrow]))
-    m_a = m_a * s_lane_a[:, None]
+    if bf16_tail == 0:
+        # fully-int8 chain: fold the dequant scales of BOTH head operands
+        m_a = m_a * s_lane_a[:, None]
+    # the b operand (encoder level-0 skip) is int8 in every mode
     m_b = m_b * s_lane_b[:, None]
     bias3 = np.tile(lc_b, pf)
     m_full = np.kron(eye, np.asarray(
@@ -414,26 +470,55 @@ def build_predict_q(
             dh_ //= 2
         a_chain, ap = xc, p
         b = None
+        b_scale = None
         for idx in range(n_blocks):
             i = n_blocks - 1 - idx
             repack_to, _pa = plan_dec[idx]
+            if idx == switch:
+                # mixed-precision tail: dequantize the chain ONCE (one
+                # per-lane multiply; int8 values are exact in bf16, the
+                # ones lanes dequant to exactly 1) and serve the rest
+                # with the bf16 engine's fused kernels
+                v = _dequant_vec(s_a_list[idx], ap, a_chain.shape[-1])
+                a_chain = (
+                    a_chain.astype(jnp.float32) * v
+                ).astype(compute_dtype)
             if repack_to is not None:
                 a_chain = pc.repack_chain(
                     a_chain, dh_, dwp, ap,
                     u_units[idx - 1][1].cout + 1, repack_to[0],
                 )
                 ap, dwp = repack_to
-            (ma, mb, s2, b2), (pw1, ps1, pb1) = dec_q[idx]
-            a_chain = uc.upconv_fused_chain(
-                a_chain, ma, b2, dh_, dwp,
-                b_chain=None if b is None else b[0],
-                mats_b=mb, scale2=s2, interpret=interpret,
-            )
-            ap *= 2
-            dh_ *= 2
-            a_chain = pc.conv3d_chain_q(a_chain, pw1, ps1, pb1, dh_, dwp,
-                                        interpret=interpret)
+            if idx < switch:
+                (ma, mb, s2, b2), (pw1, ps1, pb1) = dec_q[idx]
+                a_chain = uc.upconv_fused_chain(
+                    a_chain, ma, b2, dh_, dwp,
+                    b_chain=None if b is None else b[0],
+                    mats_b=mb, scale2=s2, interpret=interpret,
+                )
+                ap *= 2
+                dh_ *= 2
+                a_chain = pc.conv3d_chain_q(a_chain, pw1, ps1, pb1,
+                                            dh_, dwp, interpret=interpret)
+            else:
+                ma, mb, pbias2 = bf16_up[idx]
+                b_c = None
+                if b is not None:
+                    bv = _dequant_vec(b_scale, b[1], b[0].shape[-1])
+                    b_c = (
+                        b[0].astype(jnp.float32) * bv
+                    ).astype(compute_dtype)
+                a_chain = uc.upconv_fused_chain(
+                    a_chain, ma, pbias2, dh_, dwp,
+                    b_chain=b_c, mats_b=mb, interpret=interpret,
+                )
+                ap *= 2
+                dh_ *= 2
+                a_chain = u_units[idx][1].call_chain(
+                    a_chain, ap, dh_, dwp, ones_in=True, ones_out=True
+                )
             b = skips[i]
+            b_scale = skips_s[i]
         apk = pc.from_chain(
             a_chain, dh_, dwp, ap * (u_units[-1][1].cout + 1)
         )

@@ -1,0 +1,350 @@
+"""Packed-RESIDENT training forward: the whole U-Net in W-packed layout.
+
+The standard training graph keeps activations in channels-last standard
+layout between ops. At full resolution with this family's thin channels
+(7/14/28 at i_size=7), every materialized tensor pays TPU's (8,128) tile
+padding on the minor dim — 18x for 7 lanes — which is where the profiled
+"flat tail" of the 224x304x304 train step lives (dozens of 8-30 ms
+layout copies/fusions; BASELINE.md round 4). The serving engine already
+solved this with a W-packed layout (``ops/pallas/conv3d.py``); this
+module brings the same layout to the DIFFERENTIABLE path:
+
+- activations flow as ``(B, D, H, W/p, p*C)`` with ``p0 = 2**n_blocks``
+  at full resolution, halving per pool level while channels double — the
+  lane dim stays ~constant (112 for i_size=7) and every materialized
+  tensor is lane-dense;
+- convs are the packed XLA convs of ``ops/packed_conv.py`` WITHOUT the
+  per-call pack/unpack reshapes (the relayout to standard between ops is
+  exactly the cost being removed);
+- pooling is a custom-VJP lane-space max (W-pairs sit inside a pack
+  block), with the backward's eq/tie temps lane-dense;
+- the k2s2 transposed conv is one einsum producing the doubled pack
+  directly (the packed analog of ``unet._ConvT2x2``);
+- skip concats are never materialized: the upconv consuming
+  ``cat(a, skip)`` splits its kernel columns (weight-split, same
+  parameters);
+- BatchNorm statistics reduce over batch x spatial x pack positions —
+  the same element set as the standard graph, so train-mode stats and
+  running averages are IDENTICAL (f32, momentum 0.9, eps 1e-5);
+- remat per block, mirroring ``nn.remat`` in the standard model (block
+  functions are pure — they RETURN their BN stats so ``jax.checkpoint``
+  re-execution stays side-effect-free).
+
+Integration is functional, like the serving engine: a shim object with
+``init``/``apply`` built from the UNTOUCHED flax model — parameters,
+checkpoints and the optimizer tree are unchanged, and ``apply`` is
+value- and gradient-exact vs the flax graph (modulo float summation
+order; tested in tests/test_packed_resident.py). Inputs whose spatial
+dims don't divide by ``2**n_blocks`` (or unsupported families) fall back
+to the flax apply transparently.
+
+Reference being reproduced: the training forward of
+``ctunet/pytorch/models.py:158-261`` + the double-output heads
+(``models.py:299-387``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.packed_conv import pack_weights_jax
+
+# Model-family table (mirrors engine.ENGINE_CONFIGS; head: None = plain
+# 3-channel sigmoid output, "double" = (full, flap) encodings after
+# sigmoid, "double_softmax" = additionally softmaxed (UNetDO)).
+_CONFIGS: Dict[str, Dict[str, Any]] = {
+    "UNet4b2i3o": dict(n_blocks=4, i_size=7, head=None),
+    "UNet5b2i3o": dict(n_blocks=5, i_size=4, head=None),
+    "UNet4b1i3o": dict(n_blocks=4, i_size=7, head=None),
+    "UNetSP": dict(n_blocks=4, i_size=7, head="double"),
+    "UNetSPSmall": dict(n_blocks=5, i_size=4, head="double_softmax"),
+    "UNetDO": dict(n_blocks=4, i_size=7, head="double"),
+}
+
+
+def supports(model_class: str) -> bool:
+    return model_class in _CONFIGS
+
+
+# ---------------------------------------------------------------------------
+# packed building blocks
+# ---------------------------------------------------------------------------
+
+
+def _conv_packed(xq: jax.Array, kernel: jax.Array, p: int) -> jax.Array:
+    """SAME stride-1 conv on a packed tensor (pack unchanged)."""
+    from ..ops import packed_conv as pcv
+
+    pw = pack_weights_jax(kernel, p).astype(xq.dtype)
+    if pcv.get_conv_impl() == "xla_dw":
+        return pcv._packed_core_dw(xq, pw)
+    return jax.lax.conv_general_dilated(
+        xq, pw, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+
+
+def _bn_relu_packed(
+    xq: jax.Array, bn_p, bn_s, p: int, c: int, train: bool,
+    momentum: float = 0.9, eps: float = 1e-5,
+):
+    """BatchNorm (f32 stats, compute-dtype data) + ReLU on packed lanes.
+
+    Element set per channel equals the standard graph's (batch x spatial
+    x pack positions), so statistics are identical (``unet.BatchNorm``
+    math). Returns ``(y, new_stats_or_None)``."""
+    scale, bias = bn_p["scale"], bn_p["bias"]
+    new_stats = None
+    if train:
+        sh = xq.shape
+        xf = xq.astype(jnp.float32).reshape(*sh[:-1], p, c)
+        axes = tuple(range(xf.ndim - 1))
+        mean = jnp.mean(xf, axis=axes)
+        var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+        m = momentum
+        new_stats = {
+            "mean": m * bn_s["mean"] + (1 - m) * mean,
+            "var": m * bn_s["var"] + (1 - m) * var,
+        }
+    else:
+        mean, var = bn_s["mean"], bn_s["var"]
+    inv = jax.lax.rsqrt(var + eps) * scale
+    shift = bias - mean * inv
+    inv_l = jnp.tile(inv, p).astype(xq.dtype)
+    shift_l = jnp.tile(shift, p).astype(xq.dtype)
+    return jnp.maximum(xq * inv_l + shift_l, 0), new_stats
+
+
+def _pool2_packed_value(xq, p, c):
+    b, d, h, wp, _ = xq.shape
+    x = xq.reshape(b, d // 2, 2, h // 2, 2, wp, p // 2, 2, c)
+    return x.max(axis=(2, 4, 7)).reshape(b, d // 2, h // 2, wp,
+                                         (p // 2) * c)
+
+
+def _repeat2_packed(t, p, c):
+    """NN 2x upsample (B,D,H,wp,(p/2)*C) -> (B,2D,2H,wp,p*C): D/H by
+    broadcast, W inside lane space."""
+    b, d, h, wp, _ = t.shape
+    t = t.reshape(b, d, h, wp, p // 2, c)
+    t = jnp.broadcast_to(
+        t[:, :, None, :, None, :, :, None, :],
+        (b, d, 2, h, 2, wp, p // 2, 2, c),
+    )
+    return t.reshape(b, 2 * d, 2 * h, wp, p * c)
+
+
+def _make_pool2_packed(p: int, c: int):
+    """Custom-VJP packed 2x max pool; backward temps stay lane-dense
+    (the packed analog of ``unet._maxpool2``; same even tie-splitting)."""
+
+    @jax.custom_vjp
+    def pool(xq):
+        return _pool2_packed_value(xq, p, c)
+
+    def fwd(xq):
+        y = _pool2_packed_value(xq, p, c)
+        return y, (xq, y)
+
+    def bwd(res, g):
+        xq, yq = res
+        b, d, h, wp, _ = xq.shape
+        eq = (xq == _repeat2_packed(yq, p, c)).astype(jnp.float32)
+        ties = eq.reshape(
+            b, d // 2, 2, h // 2, 2, wp, p // 2, 2, c
+        ).sum(axis=(2, 4, 7))
+        gq = g.reshape(b, d // 2, h // 2, wp, p // 2, c)
+        gg = (gq.astype(jnp.float32) / ties).reshape(yq.shape)
+        dx = (eq * _repeat2_packed(gg, p, c)).astype(xq.dtype)
+        return (dx,)
+
+    pool.defvjp(fwd, bwd)
+    return pool
+
+
+def _upconv2_packed(a, kernel, bias, p, b=None, ca=None):
+    """k2s2 VALID transposed conv, packed in -> packed out (pack doubles).
+
+    ``kernel`` (2,2,2,O,I) with ``transpose_kernel=True`` semantics (no
+    spatial flip — the packed analog of ``unet._ConvT2x2``):
+    ``out[2z+dz, 2y+dy, 2x+dx, o] = sum_i x[z,y,x,i] k[dz,dy,dx,o,i]``.
+    Output W position ``2(x*p+s)+dx`` packs as lane ``(2s+dx)*O + o`` at
+    pack ``2p``. With ``b``/``ca``: the input is the implicit concat
+    ``cat(a, b)`` (kernel columns split at ``ca``; weight-split sum).
+    """
+    co = kernel.shape[3]
+
+    def one(t, k):
+        nb, d, h, wp, _ = t.shape
+        cit = k.shape[4]
+        tv = t.reshape(nb, d, h, wp, p, cit)
+        y = jnp.einsum(
+            "nzyxsi,abcoi->nzaybxsco", tv, k.astype(t.dtype)
+        )
+        return y.reshape(nb, 2 * d, 2 * h, wp, 2 * p * co)
+
+    if b is None:
+        out = one(a, kernel)
+    else:
+        out = one(a, kernel[..., :ca]) + one(b, kernel[..., ca:])
+    blane = jnp.tile(bias, 2 * p).astype(out.dtype)
+    return out + blane
+
+
+def _head_packed(a, b, kernel, bias, p, ca, cb, head, dtype):
+    """last_conv (1x1x1 over the implicit concat) + sigmoid + the
+    double-output encodings on packed lanes (block-diagonal matmuls),
+    then unpacked by a pure reshape. Computed in the model compute dtype
+    to match the flax graph's ``_SplitConv1x1`` + sigmoid numerics."""
+    lk = kernel[0, 0, 0].astype(dtype)  # (ca+cb, 3)
+    co = lk.shape[1]
+    eye = jnp.eye(p, dtype=dtype)
+    m_a = jnp.kron(eye, lk[:ca])
+    m_b = jnp.kron(eye, lk[ca: ca + cb])
+    bias_l = jnp.tile(bias, p).astype(dtype)
+
+    lc = a.astype(dtype) @ m_a + b.astype(dtype) @ m_b + bias_l
+    out = jax.nn.sigmoid(lc)
+    nb, d, h, wp, _ = out.shape
+    out = out.reshape(nb, d, h, wp * p, co)
+    if head is None:
+        return out
+    m_full = jnp.asarray([[1.0, 0.0], [0.0, 1.0], [0.0, 1.0]], out.dtype)
+    m_flap = jnp.asarray([[0.0, 0.0], [-1.0, 1.0], [0.0, 0.0]], out.dtype)
+    b_flap = jnp.asarray([1.0, 0.0], out.dtype)
+    full = out @ m_full
+    fl = out @ m_flap + b_flap
+    if head == "double_softmax":
+        # in the compute dtype, matching the flax variant's head
+        return jax.nn.softmax(full, axis=-1), jax.nn.softmax(fl, axis=-1)
+    return full, fl
+
+
+# ---------------------------------------------------------------------------
+# the shim
+# ---------------------------------------------------------------------------
+
+
+class PackedResidentModel:
+    """``init``/``apply``-compatible wrapper running the packed forward.
+
+    ``init`` delegates to the wrapped flax model (parameter trees are
+    identical by construction); ``apply`` runs packed-resident when the
+    input divides by ``2**n_blocks`` and falls back to the flax apply
+    otherwise. Signature-compatible with every ``model.apply`` call in
+    ``steps.py`` (positional ``(variables, x, train)``, optional
+    ``mutable=["batch_stats"]``).
+    """
+
+    def __init__(self, inner, model_class: str, use_remat: bool = True):
+        if not supports(model_class):
+            raise ValueError(f"packed-resident: unsupported {model_class}")
+        self.inner = inner
+        self.model_class = model_class
+        self.cfg = _CONFIGS[model_class]
+        self.use_remat = use_remat
+
+    def init(self, *a, **k):
+        return self.inner.init(*a, **k)
+
+    # -- forward ----------------------------------------------------------
+
+    def apply(self, variables, x, train: bool = False, mutable=None):
+        n = self.cfg["n_blocks"]
+        p0 = 2 ** n
+        if any(int(s) % p0 for s in x.shape[1:4]):
+            # indivisible spatial dims: transparent flax fallback
+            return self.inner.apply(variables, x, train, mutable=mutable)
+
+        out, new_stats = self._forward(variables, x, train)
+        if mutable:
+            return out, {"batch_stats": new_stats}
+        return out
+
+    def _forward(self, variables, x, train: bool):
+        cfg = self.cfg
+        n = cfg["n_blocks"]
+        i_size = cfg["i_size"]
+        head = cfg["head"]
+        params = variables["params"]["unet"]
+        stats = variables["batch_stats"]["unet"]
+        dtype = getattr(self.inner, "dtype", jnp.float32)
+
+        nb, D, H, W, cin = x.shape
+        p0 = 2 ** n
+        new_unet: Dict[str, Any] = {}
+
+        def unit(tag, i, j, xq, p, train):
+            """One Conv+BN+ReLU; returns (y, new_bn_stats_or_None)."""
+            pu = params[f"{tag}{i}"][f"unit{j}"]
+            su = stats[f"{tag}{i}"][f"unit{j}"]["bn"]
+            k = pu["conv"]["kernel"].astype(dtype)
+            y = _conv_packed(xq, k, p)
+            return _bn_relu_packed(y, pu["bn"], su, p, k.shape[-1], train)
+
+        maybe_remat = (
+            (lambda f: jax.checkpoint(f)) if self.use_remat
+            else (lambda f: f)
+        )
+
+        def record(tag, i, ns0, ns1):
+            if ns0 is not None:
+                new_unet[f"{tag}{i}"] = {
+                    "unit0": {"bn": ns0}, "unit1": {"bn": ns1},
+                }
+
+        # --- encoder -----------------------------------------------------
+        xq = x.astype(dtype).reshape(nb, D, H, W // p0, p0 * cin)
+        p = p0
+        skips = []  # (tensor, pack_at_capture, channels)
+        for i in range(n):
+            def enc_block(xq, i=i, p=p):
+                y, ns0 = unit("d", i, 0, xq, p, train)
+                y, ns1 = unit("d", i, 1, y, p, train)
+                return y, (ns0, ns1)
+
+            c2 = i_size * (2 ** i)
+            xq, (ns0, ns1) = maybe_remat(enc_block)(xq)
+            record("d", i, ns0, ns1)
+            skips.append((xq, p, c2))
+            xq = _make_pool2_packed(p, c2)(xq)
+            p //= 2
+
+        # --- decoder -----------------------------------------------------
+        a = xq  # bottleneck: pooled d{n-1} at pack p (= p0 / 2**n)
+        a_c = i_size * (2 ** (n - 1))
+        b_pair: Optional[Tuple[jax.Array, int]] = None
+        for idx in range(n):
+            i = n - 1 - idx
+            up = params[f"u{idx}"]["upconv"]
+            ku = up["kernel"].astype(dtype)
+            bu = up["bias"].astype(jnp.float32)
+
+            def dec_block(a, bsk, idx=idx, p=p, a_c=a_c):
+                y = _upconv2_packed(
+                    a, ku, bu, p,
+                    b=bsk, ca=None if bsk is None else a_c,
+                )
+                y, ns0 = unit("u", idx, 0, y, 2 * p, train)
+                y, ns1 = unit("u", idx, 1, y, 2 * p, train)
+                return y, (ns0, ns1)
+
+            bsk = None if b_pair is None else b_pair[0]
+            a, (ns0, ns1) = maybe_remat(dec_block)(a, bsk)
+            record("u", idx, ns0, ns1)
+            p *= 2
+            a_c = i_size * (2 ** i)
+            b_pair = (skips[i][0], skips[i][2])
+
+        # --- head --------------------------------------------------------
+        lc = params["last_conv"]
+        out = _head_packed(
+            a, b_pair[0], lc["kernel"], lc["bias"], p, a_c, b_pair[1],
+            head, dtype,
+        )
+        if not new_unet:
+            return out, variables["batch_stats"]
+        return out, {**variables["batch_stats"], "unet": new_unet}

@@ -433,6 +433,29 @@ def _repeat2(t):
     return t.reshape(b, 2 * d, 2 * h, 2 * w, c)
 
 
+def _pool_pack(w: int, c: int, target: int = 128) -> int:
+    """Largest even W-pack dividing ``w`` with ``pack*c <= target`` lanes
+    (even so the W-pool halving stays inside a pack block)."""
+    p = 1
+    for cand in (2, 4, 8, 16, 32):
+        if w % cand == 0 and cand * c <= target:
+            p = cand
+    return p
+
+
+def _repeat2_packed(t: jax.Array, p: int, c: int) -> jax.Array:
+    """NN 2x upsample of a W-packed (B, D, H, wp, (p/2)*C) tensor to
+    (B, 2D, 2H, wp, p*C): D/H repeat by broadcast, W repeat in lane
+    space (each of the p/2 W positions duplicates in place)."""
+    b, d, h, wp, _ = t.shape
+    t = t.reshape(b, d, h, wp, p // 2, c)
+    t = jnp.broadcast_to(
+        t[:, :, None, :, None, :, :, None, :],
+        (b, d, 2, h, 2, wp, p // 2, 2, c),
+    )
+    return t.reshape(b, 2 * d, 2 * h, wp, p * c)
+
+
 @jax.custom_vjp
 def _maxpool2(x):
     return _maxpool2_fwd_value(x)
@@ -451,8 +474,31 @@ def _maxpool2_bwd(res, g):
     # activations). All tensors stay standard 5D channels-last — jnp.max's
     # default VJP materialized 8D broadcast temps that XLA laid out at
     # (2,128) tiles, costing ~97 ms of the full-res train step.
+    b, d, h, w, c = x.shape
+    p = _pool_pack(w, c)
+    if p > 1:
+        # W-packed backward: all full-res temps carry p*C lanes (~128)
+        # instead of C (7/14 at full res, which TPU pads 18x per tile —
+        # the remaining ~75 ms of thin-layout broadcasts in the 224^3
+        # step). W-pairs sit INSIDE a pack block, so pooling W is a
+        # lane-space (p/2, 2, C) max and the standard<->packed moves are
+        # contiguous reshapes.
+        xq = x.reshape(b, d, h, w // p, p * c)
+        # eq against the upsampled max, computed packed: repeat D/H by
+        # broadcast, W by lane-space repeat
+        yq = y.reshape(b, d // 2, h // 2, (w // 2) // (p // 2),
+                       (p // 2) * c)
+        eq = (xq == _repeat2_packed(yq, p, c)).astype(jnp.float32)
+        ties = eq.reshape(
+            b, d // 2, 2, h // 2, 2, w // p, p // 2, 2, c
+        ).sum(axis=(2, 4, 7))  # (b, d/2, h/2, w/p, p/2, c)
+        gq = g.reshape(b, d // 2, h // 2, (w // 2) // (p // 2),
+                       p // 2, c)
+        ties = ties.reshape(gq.shape)
+        gg = (gq.astype(jnp.float32) / ties).reshape(yq.shape)
+        dx = (eq * _repeat2_packed(gg, p, c)).astype(x.dtype)
+        return (dx.reshape(x.shape),)
     eq = (x == _repeat2(y)).astype(jnp.float32)
-    b, d, h, w, c = eq.shape
     ties = eq.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, c).sum(
         axis=(2, 4, 6)
     )

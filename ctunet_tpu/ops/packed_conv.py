@@ -104,12 +104,14 @@ _CONV_IMPL = "xla"
 
 def set_conv_impl(impl: str) -> None:
     """Select the training-conv implementation at trace time:
-    'xla' (packed XLA conv, default), 'pallas' (fused kernel fwd/dgrad
-    with a hand VJP), or 'chain' (ring-cached chain-kernel fwd/dgrad +
-    all-MXU dot-general weight grads — ops/chain_conv_train.py).
-    Retracing (e.g. rebuilding the train step) applies."""
+    'xla' (packed XLA conv, default), 'xla_dw' (packed XLA conv with the
+    weight-grad as explicit per-tap dot_generals instead of XLA's
+    conv-backward), 'pallas' (fused kernel fwd/dgrad with a hand VJP), or
+    'chain' (ring-cached chain-kernel fwd/dgrad + all-MXU dot-general
+    weight grads — ops/chain_conv_train.py). Retracing (e.g. rebuilding
+    the train step) applies."""
     global _CONV_IMPL
-    assert impl in ("xla", "pallas", "chain"), impl
+    assert impl in ("xla", "xla_dw", "pallas", "chain"), impl
     _CONV_IMPL = impl
 
 
@@ -210,6 +212,63 @@ def _conv3d_pallas_bwd(res, g):
 conv3d_pallas.defvjp(_conv3d_pallas_fwd, _conv3d_pallas_bwd)
 
 
+@jax.custom_vjp
+def _packed_core_dw(xq: jax.Array, pw: jax.Array) -> jax.Array:
+    """The packed-space conv with a hand-rolled weight-grad.
+
+    Forward and data-grad are XLA convs (already sane in packed space);
+    the WEIGHT grad replaces XLA's conv-backward — which at batch-1
+    full-resolution shapes lowers to slow large-window reduce
+    formulations (~130 ms/step in the 224x304x304 profile, BASELINE.md
+    round 4) — with k*k*3 shifted MXU dot_generals: each packed tap is
+    ``x_window^T @ g`` over the flattened (B,D,H,wp) rows, f32
+    accumulation.
+    """
+    return jax.lax.conv_general_dilated(
+        xq, pw, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+
+
+def _packed_core_dw_fwd(xq, pw):
+    return _packed_core_dw(xq, pw), (xq, pw)
+
+
+def _packed_core_dw_bwd(res, g):
+    xq, pw = res
+    k0, k1, k2 = pw.shape[0], pw.shape[1], pw.shape[2]
+    b, d, hh, wp, ci = xq.shape
+    co = g.shape[-1]
+    # data grad: conv with the spatially-flipped, in/out-swapped kernel
+    # (the standard dgrad identity for SAME odd-k stride-1)
+    dxq = jax.lax.conv_general_dilated(
+        g, jnp.flip(pw, (0, 1, 2)).swapaxes(3, 4), (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    ).astype(xq.dtype)
+    # weight grad: per-tap dot_generals
+    pa, pb_, pt = k0 // 2, k1 // 2, k2 // 2
+    xp = jnp.pad(
+        xq, ((0, 0), (pa, pa), (pb_, pb_), (pt, pt), (0, 0))
+    )
+    g2 = g.reshape(-1, co)
+    taps = []
+    for a in range(k0):
+        for bb in range(k1):
+            for t in range(k2):
+                sl = jax.lax.slice(
+                    xp, (0, a, bb, t, 0), (b, a + d, bb + hh, t + wp, ci)
+                )
+                taps.append(jax.lax.dot_general(
+                    sl.reshape(-1, ci), g2, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ))
+    dpw = jnp.stack(taps).reshape(k0, k1, k2, ci, co).astype(pw.dtype)
+    return dxq, dpw
+
+
+_packed_core_dw.defvjp(_packed_core_dw_fwd, _packed_core_dw_bwd)
+
+
 def packed_conv3d(
     x: jax.Array,
     kernel: jax.Array,
@@ -237,8 +296,11 @@ def packed_conv3d(
 
     pw = pack_weights_jax(kernel, pack).astype(x.dtype)
     xq = x.reshape(b, d, hh, ww // pack, pack * cin)
-    y = jax.lax.conv_general_dilated(
-        xq, pw, (1, 1, 1), "SAME",
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-    )
+    if _CONV_IMPL == "xla_dw":
+        y = _packed_core_dw(xq, pw)
+    else:
+        y = jax.lax.conv_general_dilated(
+            xq, pw, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
     return y.reshape(b, d, hh, ww, cout)

@@ -9,9 +9,10 @@ TPU-native design: the patch grid is static (computed from the traced volume
 shape), extraction/accumulation run inside one ``lax.scan`` over a start-
 index array — a single compiled program regardless of patch count — with
 ``dynamic_slice`` reads and read-modify-write ``dynamic_update_slice``
-accumulation in f32. The grid is padded to a full scan length by duplicating
-the last patch: duplicates add the same weighted value AND the same weight,
-so the blended average is unchanged.
+accumulation in f32. With ``patch_batch`` K, each scan step runs K
+independent patch forwards (batched on the XLA path); the grid pads to a
+multiple of K with zero-blend-weight entries, keeping the result
+bit-identical to the unbatched scan.
 """
 
 from __future__ import annotations
@@ -65,6 +66,7 @@ def make_sliding_window_fn(
     compute_dtype=jnp.bfloat16,
     gaussian: bool = True,
     apply_fn=None,
+    patch_batch: int = 1,
 ):
     """Build ``predict(variables, images)`` running tiled inference.
 
@@ -73,9 +75,18 @@ def make_sliding_window_fn(
     channels-last f32.
 
     ``apply_fn``: optional per-patch forward ``(variables, x) -> out`` with
-    ``x`` (1, pz, py, px, C) — e.g. the fused Pallas engine
+    ``x`` (K, pz, py, px, C) — e.g. the fused Pallas engine
     (``engine.build_predict``) so the serving path runs per patch; defaults
     to ``model.apply``.
+
+    ``patch_batch``: patches per scan step. The K patch forwards inside a
+    step carry no data dependency on each other (only the accumulator
+    read-modify-writes are ordered), so the compiler overlaps their
+    launches/layout work; with the XLA ``model.apply`` path the K patches
+    additionally run as ONE batched forward (bigger matmuls on the deep
+    levels). The grid pads to a multiple of K by repeating the last start
+    with a ZERO blend weight — padded entries contribute nothing, so the
+    result is bit-identical to ``patch_batch=1``.
     """
     if isinstance(patch_size, int):
         patch = (patch_size, patch_size, patch_size)
@@ -89,18 +100,26 @@ def make_sliding_window_fn(
         gaussian_window(patch) if gaussian
         else np.ones(patch, np.float32)
     )
+    kb = max(1, int(patch_batch))
 
     @partial(jax.jit, static_argnames=())
     def _predict(variables, images, atlas_c):
         b, dz, dy, dx = images.shape
         starts = grid_starts((dz, dy, dx), patch, overlap)  # static
         n = starts.shape[0]
-        starts_dev = jnp.asarray(starts, jnp.int32)
+        n_pad = -(-n // kb) * kb
+        flags = np.ones(n_pad, np.float32)
+        if n_pad > n:
+            flags[n:] = 0.0  # padded entries blend with zero weight
+            starts = np.concatenate(
+                [starts, np.repeat(starts[-1:], n_pad - n, axis=0)]
+            )
+        starts_dev = jnp.asarray(starts.reshape(-1, kb, 3), jnp.int32)
+        flags_dev = jnp.asarray(flags.reshape(-1, kb))
         win = jnp.asarray(win_np)
 
         def run_one(vol):
-            # Probe output structure with one patch to size the accumulators.
-            def apply_patch(start):
+            def slice_patch(start):
                 pz, py, px = start[0], start[1], start[2]
                 p_img = jax.lax.dynamic_slice(vol, (pz, py, px), patch)
                 chans = [p_img]
@@ -108,38 +127,54 @@ def make_sliding_window_fn(
                     chans.append(
                         jax.lax.dynamic_slice(atlas_c, (pz, py, px), patch)
                     )
-                x = jnp.stack(chans, axis=-1).astype(compute_dtype)[None]
-                out = apply_fn(variables, x)
-                return jax.tree.map(lambda o: o[0].astype(jnp.float32), out)
+                return jnp.stack(chans, axis=-1).astype(compute_dtype)
 
-            probe = jax.eval_shape(apply_patch, starts_dev[0])
+            def apply_patches(starts_k):  # (K, 3) -> tree of (K, ...) f32
+                x = jnp.stack(
+                    [slice_patch(starts_k[j]) for j in range(kb)]
+                )
+                out = apply_fn(variables, x)
+                return jax.tree.map(lambda o: o.astype(jnp.float32), out)
+
+            # Probe output structure with one step to size the accumulators.
+            probe = jax.eval_shape(apply_patches, starts_dev[0])
             acc = jax.tree.map(
                 lambda s: jnp.zeros((dz, dy, dx, s.shape[-1]), jnp.float32),
                 probe,
             )
             wacc = jnp.zeros((dz, dy, dx), jnp.float32)
 
-            def body(carry, start):
+            def body(carry, step):
+                starts_k, flags_k = step
                 acc, wacc = carry
-                out = apply_patch(start)
-                pz, py, px = start[0], start[1], start[2]
-
-                def add(a, o):
-                    cur = jax.lax.dynamic_slice(
-                        a, (pz, py, px, 0), (*patch, o.shape[-1])
+                out = apply_patches(starts_k)
+                for j in range(kb):
+                    pz, py, px = (
+                        starts_k[j, 0], starts_k[j, 1], starts_k[j, 2]
                     )
-                    return jax.lax.dynamic_update_slice(
-                        a, cur + o * win[..., None], (pz, py, px, 0)
-                    )
+                    win_j = win * flags_k[j]
 
-                acc = jax.tree.map(add, acc, out)
-                cur_w = jax.lax.dynamic_slice(wacc, (pz, py, px), patch)
-                wacc = jax.lax.dynamic_update_slice(
-                    wacc, cur_w + win, (pz, py, px)
-                )
+                    def add(a, o):
+                        cur = jax.lax.dynamic_slice(
+                            a, (pz, py, px, 0), (*patch, o.shape[-1])
+                        )
+                        return jax.lax.dynamic_update_slice(
+                            a, cur + o[j] * win_j[..., None],
+                            (pz, py, px, 0),
+                        )
+
+                    acc = jax.tree.map(add, acc, out)
+                    cur_w = jax.lax.dynamic_slice(
+                        wacc, (pz, py, px), patch
+                    )
+                    wacc = jax.lax.dynamic_update_slice(
+                        wacc, cur_w + win_j, (pz, py, px)
+                    )
                 return (acc, wacc), None
 
-            (acc, wacc), _ = jax.lax.scan(body, (acc, wacc), starts_dev)
+            (acc, wacc), _ = jax.lax.scan(
+                body, (acc, wacc), (starts_dev, flags_dev)
+            )
             return jax.tree.map(lambda a: a / wacc[..., None], acc)
 
         outs = [run_one(images[i]) for i in range(b)]

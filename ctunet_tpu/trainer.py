@@ -290,12 +290,33 @@ class Model:
         raise RuntimeError("No dataset available to infer the input shape.")
 
     def _build_model(self):
-        return build_model(
+        model = build_model(
             self.params["model_class"],
             compute_dtype=self.params.get("compute_dtype") or "bfloat16",
             param_dtype=self.params.get("param_dtype") or "float32",
             use_checkpoint=bool(self.params.get("remat", True)),
         )
+        if self.params.get("packed_train"):
+            from .models.packed_resident import (
+                PackedResidentModel,
+                supports,
+            )
+
+            if supports(self.params["model_class"]):
+                # packed-RESIDENT training graph: activations stay
+                # W-packed between ops (lane-dense layouts; see
+                # models/packed_resident.py). Param tree unchanged;
+                # indivisible shapes fall back per-call.
+                model = PackedResidentModel(
+                    model, self.params["model_class"],
+                    use_remat=bool(self.params.get("remat", True)),
+                )
+            else:
+                print(
+                    "b_packed_train: unsupported model family "
+                    f"({self.params['model_class']}); standard graph."
+                )
+        return model
 
     def _maybe_atlas(self, im_shape):
         if getattr(self.problem_handler, "append_atlas", False):
@@ -717,6 +738,9 @@ class Model:
                                 self.params.get("int8_calib_quantile")
                                 or 1.0
                             ),
+                            bf16_tail=int(
+                                self.params.get("int8_bf16_tail") or 0
+                            ),
                         )
                         # the returned jitted fn traces lazily on first
                         # call — force the trace NOW so trace-time
@@ -765,6 +789,7 @@ class Model:
             overlap=float(self.params.get("patch_overlap") or 0.5),
             atlas=atlas_p,
             compute_dtype=compute_dtype,
+            patch_batch=int(self.params.get("patch_batch") or 1),
         )
         sw_state: dict = {"fn": None}
 
@@ -790,6 +815,9 @@ class Model:
                             calib_quantile=float(
                                 self.params.get("int8_calib_quantile")
                                 or 1.0
+                            ),
+                            bf16_tail=int(
+                                self.params.get("int8_bf16_tail") or 0
                             ),
                         )
                         # force the trace inside the guard (see the
@@ -849,10 +877,25 @@ class Model:
         # probabilities at 224x304x304).
         import collections
         import concurrent.futures as cf
+        import time as _time
 
         depth = max(1, int(self.params.get("prefetch_depth") or 2))
         pending: collections.deque = collections.deque()
         write_futs = []
+        # opt-in stage attribution (``b_serve_profile``): wall time the
+        # serving loop BLOCKS on each stage, so the end-to-end gap vs the
+        # device rate is attributable (decode wait / pad / upload /
+        # dispatch / fetch+unpack / write-in-flight)
+        prof: Dict[str, float] = collections.defaultdict(float)
+        prof_on = bool(self.params.get("serve_profile"))
+
+        def _t(key, fn, *a, **k):
+            if not prof_on:
+                return fn(*a, **k)
+            t0 = _time.perf_counter()
+            r = fn(*a, **k)
+            prof[key] += _time.perf_counter() - t0
+            return r
 
         @jax.jit
         def _hardify(out):
@@ -890,25 +933,47 @@ class Model:
                 sl = tuple(slice(0, s) for s in images.shape[1:])
                 return a[(slice(None),) + sl]
 
-            out = jax.tree.map(unpad_np, out)
+            out = _t("fetch+unpack", jax.tree.map, unpad_np, out)
             write_futs.append(pool.submit(
                 self.write_predictions,
                 out, batch["filepath"], self.params["name"], images,
             ))
 
+        n_batches = 0
+        t_loop0 = _time.perf_counter()
         with cf.ThreadPoolExecutor(2) as pool:
-            for batch in iter(self.data["test_loader"]):
+            it = iter(self.data["test_loader"])
+            while True:
+                batch = _t("decode-wait", next, it, None)
+                if batch is None:
+                    break
+                n_batches += 1
                 images = batch["image"]
                 pads = [(0, -s % multiple) for s in images.shape[1:]]
-                padded = np.pad(images, [(0, 0)] + pads)
-                out = _hardify(predict(variables, _upload(padded)))
+                padded = _t("pad", np.pad, images, [(0, 0)] + pads)
+                up = _t("upload", _upload, padded)
+                out = _t("dispatch", lambda: _hardify(
+                    predict(variables, up)
+                ))
                 pending.append((out, batch, padded.shape[1:]))
                 if len(pending) >= depth:
                     flush_one(pool)
             while pending:
                 flush_one(pool)
+            t_drain0 = _time.perf_counter()
             for f in write_futs:
                 self.out_paths = f.result()
+            prof["write-drain"] += _time.perf_counter() - t_drain0
+        if prof_on and n_batches:
+            total = _time.perf_counter() - t_loop0
+            print("serving profile (loop-blocking seconds, "
+                  f"{n_batches} batches, {total:.2f}s total):")
+            for k, v in sorted(prof.items(), key=lambda kv: -kv[1]):
+                print(f"  {k:<14s} {v:8.2f}s  ({v / n_batches * 1000:7.1f} "
+                      "ms/batch)")
+            other = total - sum(prof.values())
+            print(f"  {'other':<14s} {other:8.2f}s  "
+                  f"({other / n_batches * 1000:7.1f} ms/batch)")
 
 
 def load_ini_file(ini_file: str) -> None:

@@ -72,21 +72,30 @@ def default_params() -> Dict[str, Any]:
         "mesh_spatial": 1,
         "patch_inference": False,     # sliding-window patch inference
         "patch_size": 128,
-        "patch_overlap": 0.5,
+        "patch_overlap": 0.5,         # 0.25 = 3x fewer patches at 512-res
+        "patch_batch": 4,             # patches per scan step (batched
+                                      # forwards; exact — see
+                                      # ops/sliding_window.py)
         "use_engine": True,           # fused Pallas inference engine
         "use_int8": False,            # calibrated int8 serving engine
                                       # (PTQ; calibrates on the first test
                                       # volume, falls back to bf16 engine)
         "int8_calib_quantile": 1.0,   # <1: clipped (quantile) calibration
+        "int8_bf16_tail": 1,          # final decoder blocks served bf16
+                                      # inside the int8 chain (PTQ mask
+                                      # parity; 0 = fully int8)
         "train_patch_size": 0,        # >0: random-crop patch training
-        "prefetch_depth": 2,          # host->device pipeline depth
+        "prefetch_depth": 2,
+        "serve_profile": False,       # print per-stage serving-loop times          # host->device pipeline depth
         "debug_nans": False,          # jax.debug_nans (ref: detect_anomaly)
         "profile_dir": "",            # jax.profiler trace output dir
         "log_every": 1,               # console loss print frequency (batches)
         "remat": True,                # activation recomputation per block
         "drop_remainder": True,
         "largest_cc": False,          # postprocess: keep largest component
-        "conv_impl": "xla",           # training conv: xla|pallas|chain
+        "conv_impl": "xla",
+        "packed_train": False,        # packed-resident training graph
+                                      # (models/packed_resident.py)           # training conv: xla|pallas|chain
     }
 
 

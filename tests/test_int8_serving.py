@@ -31,7 +31,7 @@ def test_int8_predict_lazy_calibration(monkeypatch):
     calls = {"n": 0}
 
     def fake_build_q(mc, variables, calib, compute_dtype=None,
-                     calib_quantile=1.0):
+                     calib_quantile=1.0, **kw):
         calls["n"] += 1
         calls["calib_shape"] = tuple(calib.shape)
         # must be jax-traceable: the trainer now force-traces the built
@@ -59,7 +59,7 @@ def test_int8_predict_falls_back_on_unchainable(monkeypatch, capsys):
     )
 
     def fake_build_q(mc, variables, calib, compute_dtype=None,
-                     calib_quantile=1.0):
+                     calib_quantile=1.0, **kw):
         raise ValueError("needs chainable pooling")
 
     monkeypatch.setattr(engine_q, "build_predict_q", fake_build_q)
@@ -86,7 +86,7 @@ def test_int8_builds_per_shape(monkeypatch):
     calib_shapes = []
 
     def fake_build_q(mc, variables, calib, compute_dtype=None,
-                     calib_quantile=1.0):
+                     calib_quantile=1.0, **kw):
         calib_shapes.append(tuple(calib.shape))
         return lambda x: (jnp.asarray(8), tuple(x.shape))
 
@@ -113,7 +113,7 @@ def test_int8_patch_predict_calibrates_central_patch(monkeypatch):
     calls = {}
 
     def fake_build_q(mc, variables, calib, compute_dtype=None,
-                     calib_quantile=1.0):
+                     calib_quantile=1.0, **kw):
         calls["calib_shape"] = tuple(calib.shape)
         return lambda x: (jnp.asarray(8), tuple(x.shape))
 
@@ -186,7 +186,7 @@ def test_int8_falls_back_on_trace_time_failure(monkeypatch, capsys):
     )
 
     def fake_build_q(mc, variables, calib, compute_dtype=None,
-                     calib_quantile=1.0):
+                     calib_quantile=1.0, **kw):
         def fn(x):
             raise AssertionError("chain plan shape assert fires on trace")
         return fn

@@ -217,3 +217,40 @@ def test_convt2x2_matches_flax_convtranspose(rng):
     np.testing.assert_allclose(
         np.asarray(y4), np.asarray(y_ref[0]), atol=1e-5
     )
+
+
+def test_maxpool_packed_backward_matches_autodiff(rng):
+    """The W-packed pooling backward (lane-dense full-res temps) is
+    gradient-exact vs jnp.max autodiff, including exact ties."""
+    import jax
+    import jax.numpy as jnp
+
+    from ctunet_tpu.models.unet import _maxpool2, _pool_pack
+
+    def ref(x):
+        b, d, h, w, c = x.shape
+        y = x.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, c).max((2, 4, 6))
+        return jnp.sum(jnp.sin(y * 3))
+
+    def ours(x):
+        return jnp.sum(jnp.sin(_maxpool2(x) * 3))
+
+    # (shape, expected pack): thin channels pack toward 128 lanes; wide
+    # channels fall back to the standard-space backward
+    cases = [((1, 4, 6, 32, 7), 16), ((2, 4, 4, 16, 14), 8),
+             ((1, 2, 2, 6, 200), 1)]
+    for shape, want_p in cases:
+        assert _pool_pack(shape[3], shape[4]) == want_p
+        x = jnp.asarray(rng.random(shape).astype(np.float32))
+        np.testing.assert_allclose(float(ours(x)), float(ref(x)), rtol=1e-6)
+        g1, g2 = jax.grad(ref)(x), jax.grad(ours)(x)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                                   atol=1e-6)
+        # exact ties (duplicated planes): even tie-splitting matches
+        xt = jnp.asarray(np.repeat(
+            rng.random((shape[0], shape[1] // 2, *shape[2:]))
+            .astype(np.float32), 2, axis=1,
+        ))
+        g1, g2 = jax.grad(ref)(xt), jax.grad(ours)(xt)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                                   atol=1e-6)

@@ -151,3 +151,33 @@ def test_conv_impl_switch(rng):
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(w), atol=5e-4, rtol=1e-3
         )
+
+
+def test_xla_dw_impl_matches_autodiff(rng):
+    """conv_impl='xla_dw' (per-tap dot-general weight grad) is value- and
+    gradient-exact vs the default packed conv's autodiff."""
+    import jax
+    import jax.numpy as jnp
+
+    from ctunet_tpu.ops import packed_conv as pcv
+
+    x = jnp.asarray(rng.standard_normal((1, 6, 8, 32, 7)).astype(np.float32))
+    k = jnp.asarray(
+        rng.standard_normal((3, 3, 3, 7, 5)).astype(np.float32) * 0.2
+    )
+
+    def loss(x, k):
+        return jnp.sum(jnp.sin(pcv.packed_conv3d(x, k)))
+
+    try:
+        pcv.set_conv_impl("xla")
+        v1, (gx1, gk1) = jax.value_and_grad(loss, (0, 1))(x, k)
+        pcv.set_conv_impl("xla_dw")
+        v2, (gx2, gk2) = jax.value_and_grad(loss, (0, 1))(x, k)
+    finally:
+        pcv.set_conv_impl("xla")
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk2), np.asarray(gk1),
+                               atol=2e-5, rtol=1e-4)

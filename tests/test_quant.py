@@ -302,3 +302,51 @@ def test_chain_q_chains_into_itself(rng):
     mid1 = _emulate_q(jnp.asarray(x), w1, jnp.asarray(s), jnp.asarray(b))
     want = _emulate_q(jnp.asarray(mid1), w2, jnp.asarray(s), jnp.asarray(b))
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_int8_engine_bf16_tail(rng):
+    """Mixed-precision tail: the last k decoder blocks served in the
+    engine's float path inside the otherwise-int8 chain. More tail =>
+    strictly less quantization noise vs the float engine; full-decoder
+    tail leaves only encoder quantization."""
+    from ctunet_tpu import engine, engine_q
+    from ctunet_tpu.models import build_model
+
+    shape = (16, 16, 32)
+    m = build_model("UNetSP", compute_dtype="float32", use_checkpoint=False)
+    x0 = jnp.zeros((1, *shape, 2), jnp.float32)
+    vs = jax.jit(m.init, static_argnums=(2,))(jax.random.key(0), x0, False)
+    stats = jax.tree.map(
+        lambda s: s * (1.0 + 0.1 * jax.random.uniform(
+            jax.random.key(1), s.shape
+        )) + 0.01,
+        vs["batch_stats"],
+    )
+    vs = {"params": vs["params"], "batch_stats": stats}
+    x = jnp.asarray((rng.random((1, *shape, 2)) > 0.5).astype(np.float32))
+
+    want = engine.build_predict(
+        "UNetSP", vs, compute_dtype=jnp.float32, interpret=True
+    )(x)
+    w_leaves = [np.asarray(w, np.float32) for w in jax.tree.leaves(want)]
+
+    errs = {}
+    for tail in (0, 1, 4):
+        got = engine_q.build_predict_q(
+            "UNetSP", vs, x[0], compute_dtype=jnp.float32, interpret=True,
+            bf16_tail=tail,
+        )(x)
+        g_leaves = [np.asarray(g, np.float32) for g in jax.tree.leaves(got)]
+        errs[tail] = float(np.mean([
+            np.abs(g - w).mean() for g, w in zip(g_leaves, w_leaves)
+        ]))
+        for g, w in zip(g_leaves, w_leaves):
+            assert (g.argmax(-1) == w.argmax(-1)).mean() > 0.99
+
+    # the float tail shrinks the error toward the float engine (with
+    # random weights the tail-1 vs tail-4 gap sits in the noise floor,
+    # so only require no-regression there; trained-checkpoint parity is
+    # gated in tools/parity_check.py)
+    assert errs[1] < errs[0], errs
+    assert errs[4] <= errs[1] * 1.05, errs
+    assert errs[4] < 5e-3, errs  # only encoder quant noise remains

@@ -127,3 +127,58 @@ def test_apply_fn_override(rng):
     assert calls["n"] >= 1
     assert out.shape == (1, 16, 16, 16, 2)
     np.testing.assert_allclose(np.asarray(out[..., 1]), 1.0, atol=1e-6)
+
+
+class _Conv1:
+    """A real (non-constant) patch function: 3D box blur of the image
+    channel — sensitive to patch content and boundaries."""
+
+    def apply(self, variables, x, train):
+        import jax
+
+        v = x[..., :1].astype(jnp.float32)
+        k = jnp.ones((3, 3, 3, 1, 1), jnp.float32) / 27.0
+        y = jax.lax.conv_general_dilated(
+            v, k, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        return jnp.concatenate([y, 1.0 - y], -1)
+
+
+def test_patch_batch_is_exact(rng):
+    """patch_batch=K blends EXACTLY like K=1: same patches, same
+    Gaussian weights, only grouped per scan step (grid padding repeats
+    the last start, which adds identical value and weight)."""
+    vol = rng.random((1, 24, 24, 40)).astype(np.float32)
+    outs = {}
+    for kb in (1, 3, 4):
+        predict = make_sliding_window_fn(
+            _Conv1(), patch_size=16, overlap=0.5,
+            compute_dtype=jnp.float32, patch_batch=kb,
+        )
+        outs[kb] = np.asarray(predict({}, jnp.asarray(vol)))
+    np.testing.assert_allclose(outs[3], outs[1], atol=1e-6)
+    np.testing.assert_allclose(outs[4], outs[1], atol=1e-6)
+
+
+def test_quarter_overlap_covers_and_blends(rng):
+    """overlap=0.25 (the fast patching mode: ~3x fewer patches at
+    512-res) still covers every voxel and blends exactly."""
+    from ctunet_tpu.ops.sliding_window import grid_starts
+
+    shape = (24, 40, 40)
+    s25 = grid_starts(shape, (16, 16, 16), 0.25)
+    s50 = grid_starts(shape, (16, 16, 16), 0.5)
+    assert len(s25) < len(s50)
+    covered = np.zeros(shape, bool)
+    for z, y, x in s25:
+        covered[z:z + 16, y:y + 16, x:x + 16] = True
+    assert covered.all()
+
+    vol = rng.random((1, *shape)).astype(np.float32)
+    predict = make_sliding_window_fn(
+        _Identity(), patch_size=16, overlap=0.25,
+        compute_dtype=jnp.float32, patch_batch=2,
+    )
+    out = predict({}, jnp.asarray(vol))
+    np.testing.assert_allclose(np.asarray(out[..., 1]), vol, atol=1e-5)

@@ -11,7 +11,11 @@ thread pool).
 Synthetic 224x304x304 broken skulls are staged as uint8 NIfTI (the
 reference's preprocessed-volume format). Prints one JSON line.
 
-Usage: python tools/bench_serve.py [--n 16] [--int8] [--xla]
+Usage: python tools/bench_serve.py [--n 16] [--int8] [--xla] [--profile]
+
+``--profile`` prints per-stage loop-blocking times (decode wait, pad,
+upload, dispatch, fetch+unpack, write drain) to attribute the gap between
+the device rate and the end-to-end rate.
 """
 
 import json
@@ -102,6 +106,7 @@ def main() -> None:
             log_every=0, seed=0,
             use_engine="--xla" not in sys.argv,
             use_int8="--int8" in sys.argv,
+            serve_profile="--profile" in sys.argv,
         )
         t0 = time.perf_counter()
         Model(params=params)

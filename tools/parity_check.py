@@ -120,19 +120,18 @@ def main():
         np.stack([np.asarray(calib_broken, np.float32), atlas], -1),
         jnp.bfloat16,
     )
-    q_sk = q_fl = qc_sk = qc_fl = None
+    q_masks = {}  # tail -> (sk, fl)
     try:
-        predict_q = engine_q.build_predict_q("UNetSP", variables, calib)
-        outs_q = predict_q(jnp.asarray(x_all, jnp.bfloat16))
-        q_sk = np.argmax(np.asarray(outs_q[0], np.float32), -1)
-        q_fl = np.argmax(np.asarray(outs_q[1], np.float32), -1)
-        # clipped (quantile) calibration: bounds activation-outlier damage
-        predict_qc = engine_q.build_predict_q(
-            "UNetSP", variables, calib, calib_quantile=0.9995
-        )
-        outs_qc = predict_qc(jnp.asarray(x_all, jnp.bfloat16))
-        qc_sk = np.argmax(np.asarray(outs_qc[0], np.float32), -1)
-        qc_fl = np.argmax(np.asarray(outs_qc[1], np.float32), -1)
+        for tail in (0, 1, 2):
+            predict_q = engine_q.build_predict_q(
+                "UNetSP", variables, calib, bf16_tail=tail
+            )
+            outs_q = predict_q(jnp.asarray(x_all, jnp.bfloat16))
+            q_masks[tail] = (
+                np.argmax(np.asarray(outs_q[0], np.float32), -1),
+                np.argmax(np.asarray(outs_q[1], np.float32), -1),
+            )
+            print(f"  int8 engine (bf16_tail={tail}) done", flush=True)
     except Exception as e:
         print(f"int8 engine skipped: {type(e).__name__}: {e}", flush=True)
     # and a true-f32 forward (f32-built model, same params) for a
@@ -188,20 +187,16 @@ def main():
         "dice_fl_engine_bf16": round(dice(ours_fl, ref_fl), 6),
         "dice_sk_xla_f32": round(dice(ours32_sk, ref_sk), 6),
         "dice_fl_xla_f32": round(dice(ours32_fl, ref_fl), 6),
-        **(
-            {
-                "dice_sk_engine_int8": round(dice(q_sk, ref_sk), 6),
-                "dice_fl_engine_int8": round(dice(q_fl, ref_fl), 6),
-            }
-            if q_sk is not None else {}
-        ),
-        **(
-            {
-                "dice_sk_engine_int8_q9995": round(dice(qc_sk, ref_sk), 6),
-                "dice_fl_engine_int8_q9995": round(dice(qc_fl, ref_fl), 6),
-            }
-            if qc_sk is not None else {}
-        ),
+        **{
+            k: v
+            for tail, (m_sk, m_fl) in sorted(q_masks.items())
+            for k, v in {
+                f"dice_sk_engine_int8_tail{tail}":
+                    round(dice(m_sk, ref_sk), 6),
+                f"dice_fl_engine_int8_tail{tail}":
+                    round(dice(m_fl, ref_fl), 6),
+            }.items()
+        },
         "foreground_voxels_sk": int((ref_sk > 0).sum()),
         "foreground_voxels_fl": int((ref_fl > 0).sum()),
     }
