@@ -196,14 +196,20 @@ def build_predict_q(
     int8 lanes are exact in bf16) and running the last block(s) with
     the bf16 engine's fused kernels recovers it while the encoder and
     deep decoder keep the int8 MXU rate. 0 = fully int8 (fastest);
-    ``n_blocks`` = int8 encoder + bf16 decoder.
+    ``n_blocks`` = int8 encoder + bf16 decoder. A ``.5`` fraction adds
+    a HALF block: that block's fused upsample+conv (its expensive full
+    -res matmuls) stays int8 and only its second unit + head go bf16.
     """
     cfg = engine.ENGINE_CONFIGS[model_class]
     if cfg["family"] != "generic":
         raise ValueError("int8 engine supports the generic UNet family only")
     n_blocks = cfg["n_blocks"]
-    bf16_tail = max(0, min(int(bf16_tail), n_blocks))
-    switch = n_blocks - bf16_tail  # first decoder idx served in bf16
+    tail_f = max(0.0, min(float(bf16_tail), float(n_blocks)))
+    full_tail = int(tail_f)
+    half_tail = (tail_f - full_tail) >= 0.5 and full_tail < n_blocks
+    switch = n_blocks - full_tail  # first decoder idx fully bf16
+    # with half_tail, block (switch-1) runs its upconv int8 and its
+    # second unit bf16 (dequant happens between them)
     head = cfg["head"]
     params = variables["params"]["unet"]
     stats = variables["batch_stats"]["unet"]
@@ -320,6 +326,7 @@ def build_predict_q(
     # scale by construction), so only the pack bookkeeping follows plan_dec
     dec_q = []
     s_a_list = []  # channel scales of a_chain ENTERING each decoder idx
+    s_up_list = []  # scales of each upconv+unit0 OUTPUT (half-tail dequant)
     s_a = s_cur  # bottleneck = pooled d{n-1}.unit1
     for idx in range(n_blocks):
         i = n_blocks - 1 - idx
@@ -330,6 +337,7 @@ def build_predict_q(
         c_up = u_units[idx][0].cout + 1
         s_up = _chan_scales(next_rec(), 2 * pa, c_up)
         s_up[-1] = _Q1
+        s_up_list.append(s_up)
         c1 = u_units[idx][1].cout + 1
         s_u1 = _chan_scales(next_rec(), 2 * pa, c1)
         s_u1[-1] = _Q1
@@ -337,7 +345,10 @@ def build_predict_q(
             qu = _quant_upconv(
                 up_raw[idx], u_units[idx][0], ca, s_a, s_b, s_up, pa
             )
-            q1 = _quant_conv(u_units[idx][1], s_up, s_u1, 2 * pa)
+            if half_tail and idx == switch - 1:
+                q1 = None  # half tail: unit1 served bf16
+            else:
+                q1 = _quant_conv(u_units[idx][1], s_up, s_u1, 2 * pa)
             dec_q.append((qu, q1))
         else:
             dec_q.append(None)  # served bf16 (mixed-precision tail)
@@ -389,7 +400,7 @@ def build_predict_q(
     zrow = np.zeros((1, lc_k.shape[1]), np.float32)
     m_a = np.kron(eye, np.concatenate([lc_k[:ca_f], zrow]))
     m_b = np.kron(eye, np.concatenate([lc_k[ca_f: ca_f + cb_f], zrow]))
-    if bf16_tail == 0:
+    if tail_f == 0:
         # fully-int8 chain: fold the dequant scales of BOTH head operands
         m_a = m_a * s_lane_a[:, None]
     # the b operand (encoder level-0 skip) is int8 in every mode
@@ -490,7 +501,7 @@ def build_predict_q(
                 )
                 ap, dwp = repack_to
             if idx < switch:
-                (ma, mb, s2, b2), (pw1, ps1, pb1) = dec_q[idx]
+                (ma, mb, s2, b2), q1 = dec_q[idx]
                 a_chain = uc.upconv_fused_chain(
                     a_chain, ma, b2, dh_, dwp,
                     b_chain=None if b is None else b[0],
@@ -498,8 +509,25 @@ def build_predict_q(
                 )
                 ap *= 2
                 dh_ *= 2
-                a_chain = pc.conv3d_chain_q(a_chain, pw1, ps1, pb1,
-                                            dh_, dwp, interpret=interpret)
+                if q1 is not None:
+                    pw1, ps1, pb1 = q1
+                    a_chain = pc.conv3d_chain_q(
+                        a_chain, pw1, ps1, pb1, dh_, dwp,
+                        interpret=interpret,
+                    )
+                else:
+                    # HALF tail: dequant the int8 upconv output and run
+                    # the block's second unit with the bf16 kernel
+                    v = _dequant_vec(
+                        s_up_list[idx], ap, a_chain.shape[-1]
+                    )
+                    a_chain = (
+                        a_chain.astype(jnp.float32) * v
+                    ).astype(compute_dtype)
+                    a_chain = u_units[idx][1].call_chain(
+                        a_chain, ap, dh_, dwp, ones_in=True,
+                        ones_out=True,
+                    )
             else:
                 ma, mb, pbias2 = bf16_up[idx]
                 b_c = None

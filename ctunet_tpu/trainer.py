@@ -738,7 +738,7 @@ class Model:
                                 self.params.get("int8_calib_quantile")
                                 or 1.0
                             ),
-                            bf16_tail=int(
+                            bf16_tail=float(
                                 self.params.get("int8_bf16_tail") or 0
                             ),
                         )
@@ -816,7 +816,7 @@ class Model:
                                 self.params.get("int8_calib_quantile")
                                 or 1.0
                             ),
-                            bf16_tail=int(
+                            bf16_tail=float(
                                 self.params.get("int8_bf16_tail") or 0
                             ),
                         )

@@ -83,19 +83,20 @@ def default_params() -> Dict[str, Any]:
         "int8_calib_quantile": 1.0,   # <1: clipped (quantile) calibration
         "int8_bf16_tail": 1,          # final decoder blocks served bf16
                                       # inside the int8 chain (PTQ mask
-                                      # parity; 0 = fully int8)
+                                      # parity; 0 = fully int8, .5 = half
+                                      # block: only the last unit + head)
         "train_patch_size": 0,        # >0: random-crop patch training
-        "prefetch_depth": 2,
-        "serve_profile": False,       # print per-stage serving-loop times          # host->device pipeline depth
+        "prefetch_depth": 2,          # host->device pipeline depth
+        "serve_profile": False,       # print per-stage serving-loop times
         "debug_nans": False,          # jax.debug_nans (ref: detect_anomaly)
         "profile_dir": "",            # jax.profiler trace output dir
         "log_every": 1,               # console loss print frequency (batches)
         "remat": True,                # activation recomputation per block
         "drop_remainder": True,
         "largest_cc": False,          # postprocess: keep largest component
-        "conv_impl": "xla",
+        "conv_impl": "xla",           # training conv: xla|xla_dw|pallas|chain
         "packed_train": False,        # packed-resident training graph
-                                      # (models/packed_resident.py)           # training conv: xla|pallas|chain
+                                      # (models/packed_resident.py)
     }
 
 

@@ -106,6 +106,25 @@ def main() -> None:
 
     timed(fwd_q, "engine_int8")
 
+    if "--patch" in sys.argv:
+        # sliding-window fallback modes (VERDICT r1 item 4): overlap and
+        # patch-batch sweep, patches served by the fused engine
+        from ctunet_tpu.ops.sliding_window import make_sliding_window_fn
+
+        atlas = np.asarray(x[0, ..., 1], np.float32)
+        for overlap, kb in ((0.5, 1), (0.5, 4), (0.25, 1), (0.25, 4)):
+            sw = make_sliding_window_fn(
+                model, patch_size=128, overlap=overlap, atlas=atlas,
+                compute_dtype=jnp.bfloat16,
+                apply_fn=lambda v, xx: predict(xx), patch_batch=kb,
+            )
+
+            @jax.jit
+            def fwd_p(xx, sw=sw):
+                return _sum(sw(variables, xx[..., 0].astype(jnp.float32)))
+
+            timed(fwd_p, f"patch_engine_ov{overlap}_k{kb}", n_iters=3)
+
 
 if __name__ == "__main__":
     main()

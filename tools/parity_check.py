@@ -122,7 +122,7 @@ def main():
     )
     q_masks = {}  # tail -> (sk, fl)
     try:
-        for tail in (0, 1, 2):
+        for tail in (0, 0.5, 1, 2):
             predict_q = engine_q.build_predict_q(
                 "UNetSP", variables, calib, bf16_tail=tail
             )
@@ -191,9 +191,9 @@ def main():
             k: v
             for tail, (m_sk, m_fl) in sorted(q_masks.items())
             for k, v in {
-                f"dice_sk_engine_int8_tail{tail}":
+                f"dice_sk_engine_int8_tail{tail}".replace(".5", "h"):
                     round(dice(m_sk, ref_sk), 6),
-                f"dice_fl_engine_int8_tail{tail}":
+                f"dice_fl_engine_int8_tail{tail}".replace(".5", "h"):
                     round(dice(m_fl, ref_fl), 6),
             }.items()
         },
