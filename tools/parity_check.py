@@ -11,6 +11,12 @@ Writes ``PARITY.json`` at the repo root; ``bench.py`` surfaces it as the
 ``parity`` field. Target: >= 0.999 mask Dice (BASELINE.json metric).
 
 Usage: PYTHONPATH=. python tools/parity_check.py [--steps N]
+           [--ckpt PATH]
+
+``--ckpt``: orbax checkpoint path. When it exists, training is SKIPPED
+and the checkpoint is evaluated (cheap engine-variant re-measurement on
+the same trained weights); otherwise the freshly trained variables are
+saved there.
 """
 
 import json
@@ -79,6 +85,9 @@ def main():
     steps_n = 3000
     if "--steps" in sys.argv:
         steps_n = int(sys.argv[sys.argv.index("--steps") + 1])
+    ckpt_path = None
+    if "--ckpt" in sys.argv:
+        ckpt_path = os.path.abspath(sys.argv[sys.argv.index("--ckpt") + 1])
 
     import jax
     import jax.numpy as jnp
@@ -89,7 +98,29 @@ def main():
     from ctunet_tpu.models.torch_port import export_state_dict
     from ctunet_tpu.ops import synthesis
 
-    model, variables, atlas = train(steps_n)
+    if ckpt_path and os.path.exists(ckpt_path):
+        from ctunet_tpu import checkpoint as ckpt_mod
+        from ctunet_tpu.models import build_model
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(REPO, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        print(f"loading trained checkpoint {ckpt_path} (skip training)")
+        model = build_model("UNetSP", compute_dtype="bfloat16")
+        variables = ckpt_mod.load_any(ckpt_path, "UNetSP")
+        atlas = spherical_shell(SHAPE, radius_frac=0.42).astype("float32")
+    else:
+        model, variables, atlas = train(steps_n)
+        if ckpt_path:
+            from ctunet_tpu import checkpoint as ckpt_mod
+            from ctunet_tpu import steps as _steps
+
+            ckpt_mod.save_checkpoint(ckpt_path, _steps.TrainState(
+                params=variables["params"],
+                batch_stats=variables["batch_stats"],
+                opt_state=(), step=jnp.zeros((), jnp.int32),
+            ))
+            print(f"saved trained checkpoint to {ckpt_path}")
 
     # Held-out test inputs: broken skulls (fixed-seed virtual craniectomy).
     tests = []
@@ -122,7 +153,7 @@ def main():
     )
     q_masks = {}  # tail -> (sk, fl)
     try:
-        for tail in (0, 0.5, 1, 2):
+        for tail in (0, 1, 2, 3, 4):
             predict_q = engine_q.build_predict_q(
                 "UNetSP", variables, calib, bf16_tail=tail
             )
