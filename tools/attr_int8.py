@@ -76,43 +76,48 @@ def main():
             float(predict(x))
     print(f"profile written to {prof_dir}", flush=True)
 
-    # index HLO ops by name -> (metadata op_name, source line)
+    # index HLO ops by name -> (metadata op_name, source line). Parse
+    # LINE BY LINE with anchored regexes — a lazy .*? scan over the whole
+    # dump backtracks catastrophically on multi-MB single-line constants.
     meta = {}
-    for m in re.finditer(
-        r"%?([\w.\-]+)\s*=\s*\S+.*?metadata=\{([^}]*)\}", hlo
-    ):
-        name, md = m.group(1), m.group(2)
+    for ln in hlo.splitlines():
+        m = re.match(r"\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=", ln)
+        if not m or "metadata={" not in ln:
+            continue
+        md = ln.split("metadata={", 1)[1]
+        md = md.split("}", 1)[0]
         op = re.search(r'op_name="([^"]*)"', md)
         src = re.search(r'source_file="([^"]*)"', md)
         line = re.search(r"source_line=(\d+)", md)
-        meta[name] = (
+        meta[m.group(1)] = (
             (op.group(1) if op else ""),
             f"{src.group(1) if src else ''}:{line.group(1) if line else ''}",
         )
 
-    # pull self-times from the trace protobuf via the xplane textualizer
+    # per-op durations from the Chrome trace JSON the profiler writes
+    import collections
     import glob
     import gzip
+    import json
 
-    xs = sorted(glob.glob(
-        os.path.join(prof_dir, "plugins/profile/*/*.xplane.pb")
+    ts = sorted(glob.glob(
+        os.path.join(prof_dir, "plugins/profile/*/*.trace.json.gz")
     ))
-    if not xs:
-        print("no xplane found; inspect the profile dir manually")
+    if not ts:
+        print("no trace.json found; inspect the profile dir manually")
         return
-    try:
-        from tensorflow.python.profiler.internal import _pywrap_profiler  # noqa
-        print("use tensorboard to view; printing HLO name->source map for "
-              "ops named like the profile's hot list:")
-    except Exception:
-        pass
-    # fall back: print metadata for every op whose name contains 'predict'
-    hot = [k for k in meta if re.match(r"(fusion|predict|custom-call)", k)]
-    print(f"{len(hot)} candidate ops; sample with metadata:")
-    for k in hot[:80]:
-        op, src = meta[k]
-        if op or src != ":":
-            print(f"  {k:<40s} {op[:60]:<60s} {src}")
+    with gzip.open(ts[-1], "rt") as f:
+        events = json.load(f).get("traceEvents", [])
+    tot = collections.defaultdict(float)
+    for ev in events:
+        if ev.get("ph") == "X" and "dur" in ev:
+            tot[ev.get("name", "?")] += float(ev["dur"])
+    top = sorted(tot.items(), key=lambda kv: -kv[1])[:25]
+    print(f"top ops over 3 iterations (us total; /3 for per-volume):")
+    for name, dur in top:
+        base = name.split("/")[-1]
+        op, src = meta.get(base, meta.get(name, ("", "")))
+        print(f"  {dur/3:9.0f} us  {name[:46]:<46s} {op[:50]:<50s} {src}")
 
 
 if __name__ == "__main__":

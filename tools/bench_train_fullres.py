@@ -8,7 +8,11 @@ step loss printed so impl experiments can be compared for BOTH speed and
 exactness (same seed => same synthesis => identical loss trajectories).
 
 Usage: PYTHONPATH=. python tools/bench_train_fullres.py
-           [--impl xla|xla_dw|chain] [--iters N] [--shape D,H,W]
+           [--impl xla|xla_dw|chain] [--packed] [--iters N]
+           [--shape D,H,W]
+
+``--packed`` routes the step through the packed-RESIDENT training graph
+(models/packed_resident.py).
 """
 
 import os
@@ -45,6 +49,12 @@ def main():
 
     packed_conv.set_conv_impl(impl)
     model = build_model("UNetSP", compute_dtype="bfloat16")
+    packed = "--packed" in sys.argv
+    if packed:
+        from ctunet_tpu.models.packed_resident import PackedResidentModel
+
+        model = PackedResidentModel(model, "UNetSP", use_remat=True)
+        impl = impl + "+packed_resident"
     x = jnp.zeros((1, *shape, 2), jnp.bfloat16)
     variables = jax.jit(model.init, static_argnums=(2,))(
         jax.random.key(0), x, False
