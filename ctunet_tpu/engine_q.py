@@ -48,7 +48,15 @@ from .ops.pallas import conv3d as pc
 from .ops.pallas import upconv as uc
 
 _EPS = 1e-8
-_Q1 = np.float32(1.0 / 127.0)  # scale of an exact ones channel
+# Zero-point activation quantization: post-ReLU activations are >= 0, so
+# the stored int8 value is q = a/s - 128 — all 255 levels of the s8 range
+# instead of [0, 127] (one extra bit of resolution at identical kernel
+# speed; the MXU consumes s8 either way). "Activation zero" is q = -128:
+# every halo/pad fill is -128 (kernels' ``zp`` mode) and each consumer
+# folds the exact correction 128 * sum_i(W_eff[i,o] * s_in[i]) into its
+# requant bias. Weights stay symmetric [-127, 127].
+_QMAX = 255.0
+_Q1 = np.float32(1.0 / _QMAX)  # scale of an exact ones channel (q = 127)
 
 
 def calibrate(
@@ -101,25 +109,32 @@ def calibrate(
 
 def _chan_scales(rec: np.ndarray, pack: int, cstride: int) -> np.ndarray:
     """Per-channel scales from a per-lane max record: reduce the maxima over
-    packed positions, then s = max/127."""
+    packed positions, then s = max/255 (zero-point activation range)."""
     lanes = rec[: pack * cstride].reshape(pack, cstride)
     mx = np.maximum(lanes.max(axis=0), _EPS)
-    return (mx / 127.0).astype(np.float32)
+    return (mx / _QMAX).astype(np.float32)
 
 
 def _quant_conv(unit, s_in: np.ndarray, s_out: np.ndarray, pack: int):
     """int8 packed weights + requant scale/bias for one Conv+BN+ReLU unit.
 
     ``s_in``/``s_out`` are per-channel activation scales INCLUDING the ones
-    channels (the unit is packed with ones_in=True, ones_out=True)."""
+    channels (the unit is packed with ones_in=True, ones_out=True).
+
+    Zero-point algebra: the input lanes hold q = a/s_in - 128, so the
+    true pre-activation is ``acc/k + 128*sum_i(w_eff[i,o]*s_in[i]) +
+    b_eff`` — the constant middle term (exact, because every tap
+    position including halos satisfies a = (q+128)*s_in) folds into the
+    requant bias. The kernel then emits round(clamp(., 0, 255)) - 128."""
     w, scale, bias = unit._aug(True, True)  # (3,3,3,Cin+1,Cout+1), BN fold
     w_eff = w * scale[None, None, None, None, :]
     w_s = w_eff * s_in.astype(np.float32)[None, None, None, :, None]
     amax = np.abs(w_s).max(axis=(0, 1, 2, 3))
     k = np.where(amax > 0, 127.0 / np.maximum(amax, _EPS), 1.0)
     q_w = np.clip(np.round(w_s * k[None, None, None, None, :]), -127, 127)
+    corr = 128.0 * w_s.sum(axis=(0, 1, 2, 3))  # zero-point correction
     scale_ref = (1.0 / (k * s_out)).astype(np.float32)
-    bias_ref = (bias / s_out).astype(np.float32)
+    bias_ref = ((bias + corr) / s_out).astype(np.float32)
     pw8 = jnp.asarray(pc.pack_weights(q_w, pack).astype(np.int8))
     ps = jnp.asarray(pc.pack_bias(scale_ref, pack))
     pb = jnp.asarray(pc.pack_bias(bias_ref, pack))
@@ -160,12 +175,29 @@ def _quant_upconv(up_raw, unit0, ca: Optional[int], s_a: np.ndarray,
     r_q = np.clip(np.round(r_s * k[None, None, None, None, :]), -127, 127)
     ma, mb = uc.build_upconv_matrices(r_q, pa, ci_split)
     scale_ref = (1.0 / (k * s_out)).astype(np.float32)
-    bias_ref = (b0a / s_out).astype(np.float32)
+    # Zero-point correction per OUTPUT PARITY: input lanes hold
+    # q = a/s_in - 128, so each output voxel owes 128 * sum(M_float) over
+    # the composite taps its (z, y) parity reaches (r = v - 2u keeps the
+    # parity of v, so even/odd output planes see disjoint halves of R).
+    # Build the float (unquantized, s_in-folded) matrices and fold their
+    # per-parity column sums into a (4, Cpo) bias — the kernel selects
+    # the row by output parity.
+    ma_f, mb_f = uc.build_upconv_matrices(r_s, pa, ci_split)
+    colsum = ma_f.sum(axis=(2, 3))  # (2, 2, Cpo)
+    if mb_f is not None:
+        colsum = colsum + mb_f.sum(axis=(2, 3))
+    s_lane = uc.pack_out_bias(s_out, 2 * pa)[0]  # tiled s_out, 0 in pads
+    inv_s = np.where(s_lane > 0, 1.0 / np.maximum(s_lane, _EPS), 0.0)
+    base = uc.pack_out_bias((b0a / s_out).astype(np.float32), 2 * pa)[0]
+    bias4 = np.stack([
+        (base + 128.0 * colsum[a, b] * inv_s).astype(np.float32)
+        for a in range(2) for b in range(2)
+    ])
     return (
         jnp.asarray(ma.astype(np.int8)),
         None if mb is None else jnp.asarray(mb.astype(np.int8)),
         jnp.asarray(uc.pack_out_bias(scale_ref, 2 * pa)),
-        jnp.asarray(uc.pack_out_bias(bias_ref, 2 * pa)),
+        jnp.asarray(bias4),
     )
 
 
@@ -383,12 +415,14 @@ def build_predict_q(
             jnp.asarray(uc.pack_out_bias(b0a, 2 * plan_dec[idx][1])),
         )
 
-    def _dequant_vec(s_chan: np.ndarray, pack: int, cp: int) -> jax.Array:
-        """Per-lane dequant multiplier for a chained int8 tensor: lanes
-        are pack-major x channel, padded with zeros to the 128-lane
-        boundary (halo/pad lanes hold int8 zeros, so any factor works)."""
-        v = np.tile(s_chan.astype(np.float32), pack)
-        return jnp.asarray(np.pad(v, (0, cp - v.size)))
+    def _dequant_vec(s_chan: np.ndarray, pack: int, cp: int):
+        """Per-lane dequant AFFINE (v, off) for a zero-point chained int8
+        tensor: a = q*v + off with off = 128*v. Real lanes recover
+        a = (q+128)*s; halo positions (q = -128) dequant to exactly 0 as
+        the bf16 kernels require; pad lanes get v = off = 0."""
+        v = np.pad(np.tile(s_chan.astype(np.float32), pack),
+                   (0, cp - pack * s_chan.size))
+        return jnp.asarray(v), jnp.asarray(128.0 * v)
 
     # ---- head: fold dequant scales into the block-diag matrices ---------
     ca_f = u_units[-1][1].cout
@@ -400,12 +434,16 @@ def build_predict_q(
     zrow = np.zeros((1, lc_k.shape[1]), np.float32)
     m_a = np.kron(eye, np.concatenate([lc_k[:ca_f], zrow]))
     m_b = np.kron(eye, np.concatenate([lc_k[ca_f: ca_f + cb_f], zrow]))
+    bias3 = np.tile(lc_b, pf)
     if tail_f == 0:
         # fully-int8 chain: fold the dequant scales of BOTH head operands
+        # and their zero-point corrections (a = (q+128)*s, so each int8
+        # operand owes 128 * colsum(s*m) to the head bias)
         m_a = m_a * s_lane_a[:, None]
+        bias3 = bias3 + 128.0 * m_a.sum(axis=0)
     # the b operand (encoder level-0 skip) is int8 in every mode
     m_b = m_b * s_lane_b[:, None]
-    bias3 = np.tile(lc_b, pf)
+    bias3 = bias3 + 128.0 * m_b.sum(axis=0)
     m_full = np.kron(eye, np.asarray(
         [[1.0, 0.0], [0.0, 1.0], [0.0, 1.0]], np.float32))
     m_flap = np.kron(eye, np.asarray(
@@ -442,29 +480,33 @@ def build_predict_q(
 
     def forward_one(x: jax.Array):
         dd_, hh, ww_, _ = x.shape
-        # quantize the input (binary skull/atlas quantize exactly); the
-        # appended ones channel is the constant q=127 lane
+        # quantize the input with the zero-point convention q = a/s - 128
+        # (binary skull/atlas channels quantize exactly: 0 -> -128,
+        # 1 -> 127); the appended ones channel is the constant q=127 lane
         q = jnp.round(
-            jnp.clip(x.astype(jnp.float32) * inv_s_entry[:cin0], -127, 127)
-        )
+            jnp.clip(x.astype(jnp.float32) * inv_s_entry[:cin0], 0, 255)
+        ) - 128.0
         q = jnp.concatenate(
             [q, jnp.full_like(q[..., :1], 127.0)], -1
         ).astype(jnp.int8)
         p = p0
-        xc = pc.to_chain(q.reshape(dd_, hh, ww_ // p, p * (cin0 + 1)), p)
+        xc = pc.to_chain(
+            q.reshape(dd_, hh, ww_ // p, p * (cin0 + 1)), p, fill=-128
+        )
         dh_, dwp = hh, ww_ // p
         skips = []
         for i in range(n_blocks):
             (pw0, ps0, pb0), (pw1, ps1, pb1) = enc_q[i]
             xc = pc.conv3d_chain_q(xc, pw0, ps0, pb0, dh_, dwp,
-                                   interpret=interpret)
+                                   interpret=interpret, zp=True)
             xc = pc.conv3d_chain_q(xc, pw1, ps1, pb1, dh_, dwp,
-                                   interpret=interpret)
+                                   interpret=interpret, zp=True)
             cout = d_units[i][1].cout
             skips.append((xc, p, cout, dh_, dwp))
             if plan_enc[i][3] == "chain":
                 xc = pc.maxpool2_chain(
-                    xc, dh_, dwp, p, cout + 1, interpret=interpret
+                    xc, dh_, dwp, p, cout + 1, interpret=interpret,
+                    fill=-128,
                 )
                 p //= 2
             else:
@@ -477,7 +519,7 @@ def build_predict_q(
                     d2, 2, h2, 2, w2, 2, xp.shape[3]
                 ).max((1, 3, 5))
                 dwp //= 2
-                xc = pc.to_chain(xp, p)
+                xc = pc.to_chain(xp, p, fill=-128)
             dh_ //= 2
         a_chain, ap = xc, p
         b = None
@@ -487,17 +529,19 @@ def build_predict_q(
             repack_to, _pa = plan_dec[idx]
             if idx == switch:
                 # mixed-precision tail: dequantize the chain ONCE (one
-                # per-lane multiply; int8 values are exact in bf16, the
-                # ones lanes dequant to exactly 1) and serve the rest
-                # with the bf16 engine's fused kernels
-                v = _dequant_vec(s_a_list[idx], ap, a_chain.shape[-1])
+                # per-lane affine; int8 values are exact in bf16, the
+                # ones lanes dequant to exactly 1, zero-point halos to
+                # exactly 0) and serve the rest with the bf16 engine's
+                # fused kernels
+                v, off = _dequant_vec(s_a_list[idx], ap, a_chain.shape[-1])
                 a_chain = (
-                    a_chain.astype(jnp.float32) * v
+                    a_chain.astype(jnp.float32) * v + off
                 ).astype(compute_dtype)
             if repack_to is not None:
                 a_chain = pc.repack_chain(
                     a_chain, dh_, dwp, ap,
                     u_units[idx - 1][1].cout + 1, repack_to[0],
+                    fill=-128 if a_chain.dtype == jnp.int8 else 0,
                 )
                 ap, dwp = repack_to
             if idx < switch:
@@ -505,7 +549,7 @@ def build_predict_q(
                 a_chain = uc.upconv_fused_chain(
                     a_chain, ma, b2, dh_, dwp,
                     b_chain=None if b is None else b[0],
-                    mats_b=mb, scale2=s2, interpret=interpret,
+                    mats_b=mb, scale2=s2, interpret=interpret, zp=True,
                 )
                 ap *= 2
                 dh_ *= 2
@@ -513,16 +557,16 @@ def build_predict_q(
                     pw1, ps1, pb1 = q1
                     a_chain = pc.conv3d_chain_q(
                         a_chain, pw1, ps1, pb1, dh_, dwp,
-                        interpret=interpret,
+                        interpret=interpret, zp=True,
                     )
                 else:
                     # HALF tail: dequant the int8 upconv output and run
                     # the block's second unit with the bf16 kernel
-                    v = _dequant_vec(
+                    v, off = _dequant_vec(
                         s_up_list[idx], ap, a_chain.shape[-1]
                     )
                     a_chain = (
-                        a_chain.astype(jnp.float32) * v
+                        a_chain.astype(jnp.float32) * v + off
                     ).astype(compute_dtype)
                     a_chain = u_units[idx][1].call_chain(
                         a_chain, ap, dh_, dwp, ones_in=True,
@@ -532,9 +576,9 @@ def build_predict_q(
                 ma, mb, pbias2 = bf16_up[idx]
                 b_c = None
                 if b is not None:
-                    bv = _dequant_vec(b_scale, b[1], b[0].shape[-1])
+                    bv, boff = _dequant_vec(b_scale, b[1], b[0].shape[-1])
                     b_c = (
-                        b[0].astype(jnp.float32) * bv
+                        b[0].astype(jnp.float32) * bv + boff
                     ).astype(compute_dtype)
                 a_chain = uc.upconv_fused_chain(
                     a_chain, ma, pbias2, dh_, dwp,

@@ -314,14 +314,19 @@ def chain_dims(wp: int, c: int, pack: int) -> Tuple[int, int]:
     return _round_up(wp + 1, 8), _round_up(pack * c, LANE)
 
 
-def to_chain(x_packed: jax.Array, pack: int) -> jax.Array:
-    """Standard packed (D, H, wp, pack*C[+pad]) -> chained flat layout."""
+def to_chain(x_packed: jax.Array, pack: int, fill=0) -> jax.Array:
+    """Standard packed (D, H, wp, pack*C[+pad]) -> chained flat layout.
+
+    ``fill`` sets the halo/pad value: 0 for the bf16 engine, -128 for the
+    zero-point int8 engine (where stored q = a/s - 128, so "activation
+    zero" is q = -128)."""
     d, hh, wp, cpk = x_packed.shape
     wpad = _round_up(wp + 1, 8)
     cp = _round_up(cpk, LANE)
     x = jnp.pad(
         x_packed,
         ((1, 1), (1, 1), (0, wpad - wp), (0, cp - cpk)),
+        constant_values=fill,
     )
     return x.reshape(d + 2, (hh + 2) * wpad, cp)
 
@@ -338,7 +343,7 @@ def from_chain(
 
 def repack_chain(
     xc: jax.Array, hh: int, wp_from: int, pack_from: int, c: int,
-    pack_to: int,
+    pack_to: int, fill=0,
 ) -> jax.Array:
     """Re-lay a chained volume from ``pack_from`` to ``pack_to`` (same W).
 
@@ -355,7 +360,7 @@ def repack_chain(
     xp = from_chain(xc, hh, wp_from, pack_from * c)
     d_, hh_ = xp.shape[0], xp.shape[1]
     xp = xp.reshape(d_, hh_, wp_to, pack_to * c)
-    return to_chain(xp, pack_to)
+    return to_chain(xp, pack_to, fill=fill)
 
 
 def _chain_kernel(x_hbm, w_ref, b_ref, out_hbm, slab, acc, outbuf, zbuf,
@@ -677,17 +682,27 @@ def _chain_kernel_ring(x_hbm, w_ref, b_ref, out_hbm, slab, acc, outbuf, zbuf,
 
 def _chain_kernel_ring_q(x_hbm, w_ref, s_ref, b_ref, out_hbm, slab, acc,
                          outbuf, zbuf, sem_in, sem_out, sem_z, *, taps, rout,
-                         dma_rows, relu, wp, wpad, ht, n_h, hh, d):
-    """int8 variant of :func:`_chain_kernel_ring` (quantized serving path)."""
+                         dma_rows, relu, wp, wpad, ht, n_h, hh, d, zp):
+    """int8 variant of :func:`_chain_kernel_ring` (quantized serving path).
+
+    ``zp``: zero-point mode — stored q = a/s - 128 so post-ReLU
+    activations use all 255 levels of the s8 range instead of [0, 127]
+    (double resolution at identical speed). "Activation zero" is then
+    q = -128: halo planes/rows, W-pad columns, and the slab's left-halo
+    init all hold -128, and the requant epilogue clamps to [0, 255]
+    before shifting by -128. The zero-point correction term
+    (128 * sum_i W_eff[i,o] * s_in[i]) is folded into ``b_ref`` by the
+    builder (engine_q._quant_conv), keeping the shift exact."""
     h = pl.program_id(0)
     z = pl.program_id(1)
     h0 = h * ht
     row_src = h0 * wpad
+    fill = jnp.int8(-128) if zp else jnp.int8(0)
 
     @pl.when(jnp.logical_and(h == 0, z == 0))
     def _init():
-        slab[:, 0:8, :] = jnp.zeros_like(slab[:, 0:8, :])
-        zbuf[:] = jnp.zeros_like(zbuf)
+        slab[:, 0:8, :] = jnp.full_like(slab[:, 0:8, :], fill)
+        zbuf[:] = jnp.full_like(zbuf, fill)
 
     def _in_copy(q):
         return pltpu.make_async_copy(
@@ -772,9 +787,12 @@ def _chain_kernel_ring_q(x_hbm, w_ref, s_ref, b_ref, out_hbm, slab, acc,
         # without the ReLU lower bound a large negative requantized value
         # would wrap on the int8 cast below — clamp symmetrically
         res = jnp.maximum(res, -127.0)
-    res = jnp.minimum(res, 127.0)
+    if zp:
+        res = jnp.minimum(res, 255.0) - 128.0
+    else:
+        res = jnp.minimum(res, 127.0)
     col = jax.lax.broadcasted_iota(jnp.int32, (rout, 1), 0) % wpad
-    res = jnp.where(col < wp, res, 0.0)
+    res = jnp.where(col < wp, res, -128.0 if zp else 0.0)
     outbuf[par] = jnp.round(res).astype(jnp.int8)
     _out_copy(par).start()
 
@@ -797,6 +815,7 @@ def conv3d_chain_q(
     relu: bool = True,
     h_tile: Optional[int] = None,
     interpret: bool = False,
+    zp: bool = False,
 ) -> jax.Array:
     """Quantized chain conv: int8 in, int8 out, int32 MXU accumulation.
 
@@ -805,10 +824,15 @@ def conv3d_chain_q(
         (:func:`pack_weights` output quantized per output lane, with the
         per-input-lane activation scale folded in before rounding).
     :param scale: (1, Cout_p) f32 — dequant*requant factor per output lane.
-    :param bias: (1, Cout_p) f32 — BN-folded bias in requantized units.
-    :returns: (D+2, (H+2)*wpad, Cout_p) chained layout, int8, borders zeroed.
+    :param bias: (1, Cout_p) f32 — BN-folded bias in requantized units
+        (in zp mode: including the zero-point correction).
+    :param zp: zero-point mode (q = a/s - 128, 255 activation levels);
+        borders fill with -128 instead of 0. Requires ``relu``.
+    :returns: (D+2, (H+2)*wpad, Cout_p) chained layout, int8, borders
+        filled with the mode's zero.
     """
     assert x.dtype == jnp.int8 and packed_w.dtype == jnp.int8
+    assert relu or not zp, "zp mode represents post-ReLU activations"
     dp2, rows, cin_p = x.shape
     d = dp2 - 2
     wpad = rows // (hh + 2)
@@ -831,7 +855,7 @@ def conv3d_chain_q(
     )
     kern = functools.partial(
         _chain_kernel_ring_q, taps=taps, rout=rout, dma_rows=dma_rows,
-        relu=relu, wp=wp, wpad=wpad, ht=ht, n_h=n_h, hh=hh, d=d,
+        relu=relu, wp=wp, wpad=wpad, ht=ht, n_h=n_h, hh=hh, d=d, zp=zp,
     )
     return pl.pallas_call(
         kern,
@@ -882,14 +906,14 @@ def _pick_chain_h_tile_q(hh: int, wpad: int, cin_p: int, cout_p: int,
 
 
 def _pool_kernel(x_hbm, out_hbm, slab, outbuf, zbuf, sem_in, sem_out, sem_z,
-                 *, ht, wpad, pack, cout, n_h, hh2, d2, rin, rout):
+                 *, ht, wpad, pack, cout, n_h, hh2, d2, rin, rout, fill):
     z = pl.program_id(0)
     h = pl.program_id(1)
     y0 = h * ht  # output-row tile start (output H = hh2)
 
     @pl.when(jnp.logical_and(z == 0, h == 0))
     def _init():
-        zbuf[:] = jnp.zeros_like(zbuf)
+        zbuf[:] = jnp.full_like(zbuf, fill)
 
     cp_in = pltpu.make_async_copy(
         x_hbm.at[pl.ds(1 + 2 * z, 2), pl.ds((1 + 2 * y0) * wpad, rin)],
@@ -964,9 +988,14 @@ def maxpool2_chain(
     pack: int,
     cout: int,
     interpret: bool = False,
+    fill: int = 0,
 ) -> jax.Array:
     """MaxPool(2) on a chained-layout volume; returns the next level's
-    chained layout at pack ``pack // 2`` (requires pack >= 2)."""
+    chained layout at pack ``pack // 2`` (requires pack >= 2).
+
+    ``fill`` is the halo value of the OUTPUT borders (the input's own
+    borders pool through max unchanged): 0 for the bf16 engine, -128 for
+    the zero-point int8 engine."""
     dp2, rows, cp_ = x.shape
     d = dp2 - 2
     wpad = rows // (hh + 2)
@@ -981,7 +1010,7 @@ def maxpool2_chain(
 
     kern = functools.partial(
         _pool_kernel, ht=ht, wpad=wpad, pack=pack, cout=cout, n_h=n_h,
-        hh2=hh2, d2=d2, rin=rin, rout=rout,
+        hh2=hh2, d2=d2, rin=rin, rout=rout, fill=fill,
     )
     return pl.pallas_call(
         kern,

@@ -155,18 +155,25 @@ def pack_out_bias(bias: np.ndarray, pout: int) -> np.ndarray:
 def _upconv_kernel(a_hbm, b_hbm, ma_ref, mb_ref, s_ref, bias_ref, out_hbm,
                    slab_a, slab_b, acc, outbuf, zbuf, sem_a, sem_b,
                    sem_out, sem_z, *, rout, dma_rows, wp, wpad, ht, n_h,
-                   hh2, d2, dual, quant):
+                   hh2, d2, dual, quant, zp):
+    """``zp``: zero-point int8 mode (stored q = a/s - 128; see
+    conv3d._chain_kernel_ring_q). ``bias_ref`` is then (4, Cpo) — one row
+    per output (z, y) parity pair, because the zero-point correction
+    128*sum(M_float) runs over the composite taps REACHABLE at that
+    parity (r = v - 2u has the parity of v), which differ between even
+    and odd output planes/rows."""
     z = pl.program_id(0)   # out plane in [0, 2*Dh)
     h = pl.program_id(1)
     h0 = h * ht
     pin_plane = (z + 1) // 2  # ceil(z/2): first chain plane of the window
+    fill = jnp.int8(-128) if zp else 0
 
     @pl.when(jnp.logical_and(z == 0, h == 0))
     def _init():
-        slab_a[:, 0:8, :] = jnp.zeros_like(slab_a[:, 0:8, :])
+        slab_a[:, 0:8, :] = jnp.full_like(slab_a[:, 0:8, :], fill)
         if dual:
-            slab_b[:, 0:8, :] = jnp.zeros_like(slab_b[:, 0:8, :])
-        zbuf[:] = jnp.zeros_like(zbuf)
+            slab_b[:, 0:8, :] = jnp.full_like(slab_b[:, 0:8, :], fill)
+        zbuf[:] = jnp.full_like(zbuf, fill)
 
     cp_a = pltpu.make_async_copy(
         a_hbm.at[pl.ds(pin_plane, 2), pl.ds(h0 * wpad, dma_rows)],
@@ -240,13 +247,20 @@ def _upconv_kernel(a_hbm, b_hbm, ma_ref, mb_ref, s_ref, bias_ref, out_hbm,
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=acc_dt,
                         )
-        if quant:
+        if quant and zp:
+            b_row = bias_ref[pl.ds(alpha * 2 + beta, 1)]  # (1, Cpo)
+            res = acc0.astype(jnp.float32) * s_ref[0][None, :]
+            res = jnp.maximum(res + b_row, 0.0)
+            res = jnp.round(jnp.minimum(res, 255.0)) - 128.0
+            res = jnp.where(col < wp, res, -128.0)
+        elif quant:
             res = acc0.astype(jnp.float32) * s_ref[0][None, :]
             res = jnp.maximum(res + bias_ref[0][None, :], 0.0)
             res = jnp.round(jnp.minimum(res, 127.0))
+            res = jnp.where(col < wp, res, 0.0)
         else:
             res = jnp.maximum(acc0 + bias_ref[0][None, :], 0.0)
-        res = jnp.where(col < wp, res, 0.0)
+            res = jnp.where(col < wp, res, 0.0)
         acc[beta] = res
     # interleave (vl, beta, x') -> out rows (2vl+beta)*wpad + x'
     for vl in range(ht):
@@ -275,16 +289,21 @@ def upconv_fused_chain(
     mats_b: Optional[jax.Array] = None,
     scale2: Optional[jax.Array] = None,
     interpret: bool = False,
+    zp: bool = False,
 ) -> jax.Array:
     """Fused ConvT(k2,s2)+Conv3(k3)+bias+ReLU, chain in -> chain out.
 
     :param a_chain: (Dh+2, (Hh+2)*wpad, Cpa) at pack ``pin`` (first
         operand, INCLUDING the ones channel carrying the convT bias).
     :param mats_a: (2, 2, 12, Cpa, Cpo) from :func:`build_upconv_matrices`.
-    :param bias2: (1, Cpo) conv bias (BN-folded) tiled per packed position.
+    :param bias2: (1, Cpo) conv bias (BN-folded) tiled per packed
+        position — or (4, Cpo) per-output-parity rows in ``zp`` mode.
     :param scale2: (1, Cpo) f32 — int8 serving path: operands/matrices are
         int8, MXU accumulates int32, and the output is requantized as
         ``round(clamp(relu(acc * scale2 + bias2), 0, 127))`` int8.
+    :param zp: zero-point int8 mode (see conv3d.conv3d_chain_q): 255
+        activation levels, borders filled with -128, and ``bias2`` rows
+        carry the per-parity zero-point corrections. Requires ``scale2``.
     :returns: (2Dh+2, (2Hh+2)*wpad, Cpo) chain at pack ``2*pin``.
     """
     dh2, rows, cpa = a_chain.shape
@@ -295,8 +314,10 @@ def upconv_fused_chain(
     dual = b_chain is not None
     cpb = b_chain.shape[-1] if dual else cpa
     quant = scale2 is not None
+    assert quant or not zp
     if quant:
         assert a_chain.dtype == jnp.int8 and mats_a.dtype == jnp.int8
+        assert bias2.shape[0] == (4 if zp else 1), bias2.shape
 
     ht = _pick_h_tile(hh, wpad, cpa + (cpb if dual else 0), cpo)
     n_h = hh // ht
@@ -307,6 +328,7 @@ def upconv_fused_chain(
     kern = functools.partial(
         _upconv_kernel, rout=rout, dma_rows=dma_rows, wp=wp, wpad=wpad,
         ht=ht, n_h=n_h, hh2=2 * hh, d2=2 * dh, dual=dual, quant=quant,
+        zp=zp,
     )
     b_in = b_chain if dual else a_chain
     mb_in = mats_b if dual else mats_a

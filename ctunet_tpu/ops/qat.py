@@ -4,7 +4,7 @@ Post-training quantization (engine_q.py) costs flap-mask parity on
 trained checkpoints (measured: Dice 0.962 vs the bf16 engine's 0.996 at
 10k steps), and the loss is NOT concentrated in the decoder tail — it is
 the accumulation of per-unit requant rounding (every Conv+BN+ReLU output
-rounds to 127 per-channel levels). The reliable fix is to fine-tune the
+rounds to 255 per-channel levels). The reliable fix is to fine-tune the
 weights UNDER that rounding: this module builds a fake-quantized forward
 that simulates the int8 engine's arithmetic in the differentiable graph
 (straight-through estimator), so a few hundred Adam steps teach the
@@ -13,8 +13,8 @@ network to place its decision boundaries where int8 can represent them.
 What is simulated (matching ``engine_q.build_predict_q``):
 
 - per-channel symmetric ACTIVATION quantization at every unit output:
-  ``fq(y) = clip(round(y / s), 0, 127) * s`` with the calibrated
-  ``s = max_c / 127`` (the engine's requant epilogue incl. its
+  ``fq(y) = clip(round(y / s), 0, 255) * s`` with the calibrated
+  ``s = max_c / 255`` (the engine's zero-point requant epilogue incl. its
   saturation), STE gradients;
 - per-channel WEIGHT quantization of each conv unit with the engine's
   exact folding: BN scale folded into the kernel, the input activation
@@ -58,11 +58,30 @@ def supports(model_class: str) -> bool:
 
 
 def _fq_act(y: jax.Array, s: jax.Array) -> jax.Array:
-    """Engine requant epilogue in float: round + [0,127] clamp, STE."""
+    """Engine requant epilogue in float: round + [0,255] clamp, CLIPPED
+    STE.
+
+    The straight-through gradient passes ONLY where the pre-quant value
+    is inside the representable range ``[0, 255*s]``. A full STE (grad 1
+    everywhere) lets activations drift arbitrarily far past the pinned
+    calibration scales with no corrective signal — the fq forward clamps
+    them so the loss never feels the drift, and the UN-clamped serving
+    forward then diverges (measured: an 800-step full-STE fine-tune
+    collapsed the plain forward to empty masks while fq loss stayed
+    ~0.85). Zeroing the gradient in the saturated region is the standard
+    LSQ/PACT-style clipped STE and makes saturation a loss-visible dead
+    zone instead of a hidden free ride.
+    """
     s = s.astype(jnp.float32)
     yf = y.astype(jnp.float32)
-    q = jnp.clip(jnp.round(yf / s), 0.0, 127.0) * s
-    return (yf + jax.lax.stop_gradient(q - yf)).astype(y.dtype)
+    q = jnp.clip(jnp.round(yf / s), 0.0, 255.0) * s
+    in_range = yf <= 255.0 * s  # post-ReLU: lower bound never binds
+    out = jnp.where(
+        in_range,
+        yf + jax.lax.stop_gradient(q - yf),
+        jax.lax.stop_gradient(q),
+    )
+    return out.astype(y.dtype)
 
 
 def _fq_weight(w_eff: jax.Array, s_in: jax.Array) -> jax.Array:
@@ -85,7 +104,12 @@ def _fq_weight(w_eff: jax.Array, s_in: jax.Array) -> jax.Array:
 
 
 def _unit(x, pu, su, s_in, s_out, dtype, fq: bool):
-    """Conv+BN(frozen)+ReLU with engine-exact fake quantization."""
+    """Conv+BN(frozen)+ReLU with engine-exact fake quantization.
+
+    ``s_in``/``s_out`` may be None even under ``fq`` — a SPARSE scales
+    dict selectively quantizes a subset of units (per-unit sensitivity
+    sweeps); fq applies only where a scale is present.
+    """
     inv = jax.lax.rsqrt(su["var"] + _EPS_BN) * pu["bn"]["scale"]
     shift = pu["bn"]["bias"] - su["mean"] * inv
     w_eff = pu["conv"]["kernel"].astype(jnp.float32) * inv[
@@ -95,7 +119,7 @@ def _unit(x, pu, su, s_in, s_out, dtype, fq: bool):
         w_eff = _fq_weight(w_eff, jnp.asarray(s_in))
     y = packed_conv3d(x.astype(dtype), w_eff.astype(dtype))
     y = jnp.maximum(y + shift.astype(y.dtype), 0)
-    if fq:
+    if fq and s_out is not None:
         return _fq_act(y, jnp.asarray(s_out))
     return y
 
@@ -139,7 +163,7 @@ class QATModel:
     def captured_scales(self) -> Dict[str, np.ndarray]:
         """Per-unit output scales from the last capture-mode call."""
         return {
-            k: np.maximum(np.asarray(v, np.float32), _EPS) / 127.0
+            k: np.maximum(np.asarray(v, np.float32), _EPS) / 255.0
             for k, v in self._captured.items()
         }
 
@@ -163,8 +187,8 @@ class QATModel:
 
         nb, D, H, W, cin = x.shape
         x = x.astype(dtype)
-        # entry: binary skull/atlas channels quantize exactly at s=1/127
-        s_cur = np.full((cin,), 1.0 / 127.0, np.float32)
+        # entry: binary skull/atlas channels quantize exactly at s=1/255
+        s_cur = np.full((cin,), 1.0 / 255.0, np.float32)
 
         skips = []
         h = x
@@ -241,7 +265,7 @@ class QATModel:
 
 def calibrate_unit_scales(model_class, variables, calib_batch,
                           dtype=jnp.bfloat16) -> Dict[str, np.ndarray]:
-    """Per-unit output activation scales (max/127) from one forward."""
+    """Per-unit output activation scales (max/255) from one forward."""
     cap = QATModel(model_class, scales=None, dtype=dtype)
     cap._forward(variables, jnp.asarray(calib_batch))
     return cap.captured_scales()

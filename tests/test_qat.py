@@ -84,6 +84,22 @@ def test_qat_gradients_flow(rng):
     assert n_live > 30  # most of the tree is live
 
 
+def test_fq_act_clipped_ste_saturation():
+    """Gradient passes inside the representable range and is ZERO where
+    the activation saturates the [0, 127*s] clamp — a full STE there
+    lets fine-tuning drift activations past the pinned scales unseen
+    (measured plain-forward collapse; see _fq_act docstring)."""
+    from ctunet_tpu.ops.qat import _fq_act
+
+    s = jnp.asarray([0.1], jnp.float32)
+    y = jnp.asarray([[5.0], [25.5], [30.0]], jnp.float32)
+    g = jax.grad(lambda v: jnp.sum(_fq_act(v, s)))(y)
+    np.testing.assert_allclose(np.asarray(g)[:, 0], [1.0, 1.0, 0.0])
+    # forward values unchanged by the clipping choice
+    out = np.asarray(_fq_act(y, s))[:, 0]
+    np.testing.assert_allclose(out, [5.0, 25.5, 25.5], atol=1e-5)
+
+
 def test_qat_capture_names_every_unit():
     scales_keys = {
         f"{t}{i}.{j}" for t in "du" for i in range(4) for j in range(2)

@@ -351,3 +351,153 @@ def test_int8_engine_bf16_tail(rng):
     assert errs[1] < errs[0], errs
     assert errs[4] <= errs[1] * 1.05, errs
     assert errs[4] < 5e-3, errs  # only encoder quant noise remains
+
+
+def _emulate_q_zp(x_q, w_int, scale, bias, s_in):
+    """Float emulation of the ZERO-POINT quantized conv: input lanes hold
+    q = a/s_in - 128, the builder folds 128*sum(W*s_in) into the bias,
+    and the epilogue emits round(clamp(relu(.), 0, 255)) - 128."""
+    acc = jax.lax.conv_general_dilated(
+        x_q[None].astype(jnp.float32),
+        jnp.asarray(w_int, jnp.float32),
+        (1, 1, 1),
+        "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )[0]
+    res = acc * scale[None, None, None, :] + bias[None, None, None, :]
+    res = jnp.maximum(res, 0.0)
+    res = jnp.minimum(res, 255.0) - 128.0
+    return np.asarray(jnp.round(res), np.int8)
+
+
+@pytest.mark.parametrize("pack,cin,cout", [(2, 3, 5), (4, 2, 7)])
+def test_chain_q_zero_point_matches_integer_emulation(rng, pack, cin, cout):
+    """zp mode: the kernel's [0,255]-clamp/-128-shift epilogue and -128
+    border fill must match a float emulation where the halo taps hold
+    q = -128 (activation zero)."""
+    d, hh, ww = 6, 8, 16
+    wp = ww // pack
+    # zero-point representation of a nonnegative activation field
+    q = rng.integers(-128, 128, (d, hh, ww, cin)).astype(np.int8)
+    w = rng.integers(-127, 127, (3, 3, 3, cin, cout)).astype(np.int8)
+    scale = (rng.random(cout) * 2e-3 + 1e-4).astype(np.float32)
+    bias = rng.standard_normal(cout).astype(np.float32) * 3.0 + 128.0
+
+    pw8 = jnp.asarray(pc.pack_weights(w.astype(np.float32), pack)
+                      .astype(np.int8))
+    ps = jnp.asarray(pc.pack_bias(scale, pack))
+    pb = jnp.asarray(pc.pack_bias(bias, pack))
+
+    xc = pc.to_chain(
+        jnp.asarray(q.reshape(d, hh, wp, pack * cin)), pack, fill=-128
+    )
+    out_c = pc.conv3d_chain_q(xc, pw8, ps, pb, hh, wp, interpret=True,
+                              zp=True)
+    out = pc.unpack_output(
+        pc.from_chain(out_c, hh, wp, pack * cout), pack, cout
+    )
+    # SAME-conv emulation pads with 0, the kernel with q=-128: emulate by
+    # padding the input with -128 explicitly and cropping.
+    qp = np.pad(q, ((1, 1), (1, 1), (1, 1), (0, 0)),
+                constant_values=-128)
+    want_full = _emulate_q_zp(jnp.asarray(qp), w, jnp.asarray(scale),
+                              jnp.asarray(bias), None)
+    want = want_full[1:-1, 1:-1, 1:-1]
+    np.testing.assert_array_equal(np.asarray(out), want)
+
+    # output halo must hold the zp fill (-128), not 0
+    wpad = out_c.shape[1] // (hh + 2)
+    grid = np.asarray(out_c).reshape(d + 2, hh + 2, wpad, -1)
+    assert (grid[0] == -128).all() and (grid[-1] == -128).all()
+    assert (grid[:, 0] == -128).all() and (grid[:, -1] == -128).all()
+    assert (grid[:, :, wp:] == -128).all()
+
+
+def test_upconv_zero_point_parity_bias(rng):
+    """zp upconv: the kernel's per-parity bias rows (zero-point
+    corrections differ by output (z, y) parity) must make the int8
+    result EXACTLY equal to a brute-force integer emulation where halo
+    taps hold q = -128."""
+    from ctunet_tpu.ops.pallas import upconv as uc
+
+    pin, ci, co = 2, 3, 4
+    Dh, Hh, Wh = 3, 4, 8
+    wp = Wh // pin
+    kT = rng.standard_normal((2, 2, 2, ci, ci)).astype(np.float32) * 0.2
+    bb = rng.standard_normal(ci).astype(np.float32) * 0.1
+    w0 = rng.standard_normal((3, 3, 3, ci, co)).astype(np.float32) * 0.2
+    bcol = np.broadcast_to(bb[None, None, None, :, None],
+                           (2, 2, 2, ci, 1)).copy()
+    kT_aug = np.concatenate([kT, bcol], -1)
+    R = uc.composite_response(kT_aug, w0)  # (4,4,4,ci+1,co), index r+1
+
+    s_in = np.full(ci + 1, 1.0 / 255.0, np.float32)
+    qa = rng.integers(-128, 128, (Dh, Hh, Wh, ci)).astype(np.int8)
+    qa = np.concatenate(
+        [qa, np.full((Dh, Hh, Wh, 1), 127, np.int8)], -1
+    )
+
+    R_s = R * s_in[None, None, None, :, None]
+    amax = np.abs(R_s).max(axis=(0, 1, 2, 3))
+    k = 127.0 / np.maximum(amax, 1e-8)
+    R_q = np.clip(np.round(R_s * k), -127, 127)
+    s_out = np.full(co, 1e-2, np.float32)
+    b0 = rng.standard_normal(co).astype(np.float32) * 0.1
+
+    # brute-force integer emulation: out[v] = requant(sum_u R_q[v-2u] q_u)
+    D2, H2, W2 = 2 * Dh, 2 * Hh, 2 * Wh
+    qf = qa.astype(np.float64)
+    want = np.zeros((D2, H2, W2, co))
+    halo = np.full(ci + 1, -128.0)
+    for vz in range(D2):
+        for vy in range(H2):
+            for vx in range(W2):
+                acc = np.zeros(co)
+                corr = np.zeros(co)
+                for rz in (-1, 0, 1, 2):
+                    if (vz - rz) % 2:
+                        continue
+                    uz = (vz - rz) // 2
+                    for ry in (-1, 0, 1, 2):
+                        if (vy - ry) % 2:
+                            continue
+                        uy = (vy - ry) // 2
+                        for rx in (-1, 0, 1, 2):
+                            if (vx - rx) % 2:
+                                continue
+                            ux = (vx - rx) // 2
+                            corr += R_s[rz + 1, ry + 1, rx + 1].sum(0)
+                            src = (
+                                qf[uz, uy, ux]
+                                if 0 <= uz < Dh and 0 <= uy < Hh
+                                and 0 <= ux < Wh else halo
+                            )
+                            acc += src @ R_q[rz + 1, ry + 1, rx + 1]
+                res = acc / (k * s_out) + b0 / s_out + 128.0 * corr / s_out
+                res = np.minimum(np.maximum(res, 0.0), 255.0)
+                want[vz, vy, vx] = np.round(res) - 128.0
+
+    ma, _ = uc.build_upconv_matrices(R_q, pin)
+    ma_f, _ = uc.build_upconv_matrices(R_s, pin)
+    colsum = ma_f.sum(axis=(2, 3))  # (2, 2, Cpo)
+    scale_ref = uc.pack_out_bias(1.0 / (k * s_out), 2 * pin)
+    s_lane = uc.pack_out_bias(s_out, 2 * pin)[0]
+    inv_s = np.where(s_lane > 0, 1.0 / np.maximum(s_lane, 1e-8), 0.0)
+    base = uc.pack_out_bias(b0 / s_out, 2 * pin)[0]
+    bias4 = np.stack([
+        base + 128.0 * colsum[a, b] * inv_s
+        for a in range(2) for b in range(2)
+    ]).astype(np.float32)
+
+    ac = pc.to_chain(
+        jnp.asarray(qa.reshape(Dh, Hh, wp, pin * (ci + 1))), pin,
+        fill=-128,
+    )
+    out = uc.upconv_fused_chain(
+        ac, jnp.asarray(ma.astype(np.int8)), jnp.asarray(bias4),
+        Hh, wp, scale2=jnp.asarray(scale_ref), interpret=True, zp=True,
+    )
+    got = np.asarray(pc.unpack_output(
+        pc.from_chain(out, 2 * Hh, wp, 2 * pin * co), 2 * pin, co
+    ), dtype=np.float64)
+    np.testing.assert_array_equal(got, want)
