@@ -122,17 +122,24 @@ def _quant_conv(unit, s_in: np.ndarray, s_out: np.ndarray, pack: int):
     channels (the unit is packed with ones_in=True, ones_out=True).
 
     Zero-point algebra: the input lanes hold q = a/s_in - 128, so the
-    true pre-activation is ``acc/k + 128*sum_i(w_eff[i,o]*s_in[i]) +
-    b_eff`` — the constant middle term (exact, because every tap
-    position including halos satisfies a = (q+128)*s_in) folds into the
-    requant bias. The kernel then emits round(clamp(., 0, 255)) - 128."""
+    engine's pre-activation is ``(acc + 128*sum_i(q_w[i,o]))/k + b_eff``
+    — the shift correction folds into the requant bias. It MUST be
+    computed from the QUANTIZED weights ``q_w`` (not the float ``w_s``):
+    with a float-weight correction the residual weight-rounding error is
+    ``sum(delta * q)``, and since post-ReLU CT volumes are mostly
+    zero-activation voxels sitting at q = -128, every empty voxel would
+    inherit a constant per-channel offset -128*sum(delta) — measured as
+    a flap-parity collapse (0.96 -> 0.83). With the q_w-based correction
+    the shift is exact integer algebra and the rounding error stays
+    proportional to the signal, exactly like the symmetric engine. The
+    kernel then emits round(clamp(., 0, 255)) - 128."""
     w, scale, bias = unit._aug(True, True)  # (3,3,3,Cin+1,Cout+1), BN fold
     w_eff = w * scale[None, None, None, None, :]
     w_s = w_eff * s_in.astype(np.float32)[None, None, None, :, None]
     amax = np.abs(w_s).max(axis=(0, 1, 2, 3))
     k = np.where(amax > 0, 127.0 / np.maximum(amax, _EPS), 1.0)
     q_w = np.clip(np.round(w_s * k[None, None, None, None, :]), -127, 127)
-    corr = 128.0 * w_s.sum(axis=(0, 1, 2, 3))  # zero-point correction
+    corr = 128.0 * q_w.sum(axis=(0, 1, 2, 3)) / k  # exact zp correction
     scale_ref = (1.0 / (k * s_out)).astype(np.float32)
     bias_ref = ((bias + corr) / s_out).astype(np.float32)
     pw8 = jnp.asarray(pc.pack_weights(q_w, pack).astype(np.int8))
@@ -176,21 +183,21 @@ def _quant_upconv(up_raw, unit0, ca: Optional[int], s_a: np.ndarray,
     ma, mb = uc.build_upconv_matrices(r_q, pa, ci_split)
     scale_ref = (1.0 / (k * s_out)).astype(np.float32)
     # Zero-point correction per OUTPUT PARITY: input lanes hold
-    # q = a/s_in - 128, so each output voxel owes 128 * sum(M_float) over
+    # q = a/s_in - 128, so each output voxel owes 128 * sum(M_q)/k over
     # the composite taps its (z, y) parity reaches (r = v - 2u keeps the
     # parity of v, so even/odd output planes see disjoint halves of R).
-    # Build the float (unquantized, s_in-folded) matrices and fold their
-    # per-parity column sums into a (4, Cpo) bias — the kernel selects
-    # the row by output parity.
-    ma_f, mb_f = uc.build_upconv_matrices(r_s, pa, ci_split)
-    colsum = ma_f.sum(axis=(2, 3))  # (2, 2, Cpo)
-    if mb_f is not None:
-        colsum = colsum + mb_f.sum(axis=(2, 3))
-    s_lane = uc.pack_out_bias(s_out, 2 * pa)[0]  # tiled s_out, 0 in pads
-    inv_s = np.where(s_lane > 0, 1.0 / np.maximum(s_lane, _EPS), 0.0)
+    # The column sums MUST come from the QUANTIZED matrices (see
+    # _quant_conv: a float-matrix correction leaves every zero-activation
+    # voxel with a -128*sum(delta) offset). In requant units the
+    # correction is 128 * colsum(M_q) * scale_ref, folded into a
+    # (4, Cpo) bias — the kernel selects the row by output parity.
+    colsum_q = ma.sum(axis=(2, 3))  # (2, 2, Cpo), integer-valued
+    if mb is not None:
+        colsum_q = colsum_q + mb.sum(axis=(2, 3))
+    scale_lane = uc.pack_out_bias(scale_ref, 2 * pa)[0]
     base = uc.pack_out_bias((b0a / s_out).astype(np.float32), 2 * pa)[0]
     bias4 = np.stack([
-        (base + 128.0 * colsum[a, b] * inv_s).astype(np.float32)
+        (base + 128.0 * colsum_q[a, b] * scale_lane).astype(np.float32)
         for a in range(2) for b in range(2)
     ])
     return (

@@ -239,13 +239,20 @@ class PackedResidentModel:
     ``mutable=["batch_stats"]``).
     """
 
-    def __init__(self, inner, model_class: str, use_remat: bool = True):
+    def __init__(self, inner, model_class: str, use_remat: bool = True,
+                 remat_policy: str = "default"):
         if not supports(model_class):
             raise ValueError(f"packed-resident: unsupported {model_class}")
         self.inner = inner
         self.model_class = model_class
         self.cfg = _CONFIGS[model_class]
         self.use_remat = use_remat
+        # "default": plain jax.checkpoint (save only block inputs);
+        # "dots": additionally save matmul/conv outputs inside the block
+        # (less recompute, more residency) — an OOM/speed tuning knob for
+        # the full-res backward (tools/mem_train.py iterates on this).
+        assert remat_policy in ("default", "dots"), remat_policy
+        self.remat_policy = remat_policy
 
     def init(self, *a, **k):
         return self.inner.init(*a, **k)
@@ -285,10 +292,14 @@ class PackedResidentModel:
             y = _conv_packed(xq, k, p)
             return _bn_relu_packed(y, pu["bn"], su, p, k.shape[-1], train)
 
-        maybe_remat = (
-            (lambda f: jax.checkpoint(f)) if self.use_remat
-            else (lambda f: f)
-        )
+        if not self.use_remat:
+            maybe_remat = lambda f: f  # noqa: E731
+        elif self.remat_policy == "dots":
+            maybe_remat = lambda f: jax.checkpoint(  # noqa: E731
+                f, policy=jax.checkpoint_policies.dots_saveable
+            )
+        else:
+            maybe_remat = lambda f: jax.checkpoint(f)  # noqa: E731
 
         def record(tag, i, ns0, ns1):
             if ns0 is not None:

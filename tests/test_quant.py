@@ -466,26 +466,25 @@ def test_upconv_zero_point_parity_bias(rng):
                             if (vx - rx) % 2:
                                 continue
                             ux = (vx - rx) // 2
-                            corr += R_s[rz + 1, ry + 1, rx + 1].sum(0)
+                            corr += R_q[rz + 1, ry + 1, rx + 1].sum(0)
                             src = (
                                 qf[uz, uy, ux]
                                 if 0 <= uz < Dh and 0 <= uy < Hh
                                 and 0 <= ux < Wh else halo
                             )
                             acc += src @ R_q[rz + 1, ry + 1, rx + 1]
-                res = acc / (k * s_out) + b0 / s_out + 128.0 * corr / s_out
+                # zp correction from the QUANTIZED weights (exact shift)
+                res = (acc + 128.0 * corr) / (k * s_out) + b0 / s_out
                 res = np.minimum(np.maximum(res, 0.0), 255.0)
                 want[vz, vy, vx] = np.round(res) - 128.0
 
     ma, _ = uc.build_upconv_matrices(R_q, pin)
-    ma_f, _ = uc.build_upconv_matrices(R_s, pin)
-    colsum = ma_f.sum(axis=(2, 3))  # (2, 2, Cpo)
+    colsum_q = ma.sum(axis=(2, 3))  # (2, 2, Cpo), integer-valued
     scale_ref = uc.pack_out_bias(1.0 / (k * s_out), 2 * pin)
-    s_lane = uc.pack_out_bias(s_out, 2 * pin)[0]
-    inv_s = np.where(s_lane > 0, 1.0 / np.maximum(s_lane, 1e-8), 0.0)
+    scale_lane = scale_ref[0]
     base = uc.pack_out_bias(b0 / s_out, 2 * pin)[0]
     bias4 = np.stack([
-        base + 128.0 * colsum[a, b] * inv_s
+        base + 128.0 * colsum_q[a, b] * scale_lane
         for a in range(2) for b in range(2)
     ]).astype(np.float32)
 
