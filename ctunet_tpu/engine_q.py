@@ -217,6 +217,7 @@ def build_predict_q(
     jit: bool = True,
     calib_quantile: float = 1.0,
     bf16_tail: int = 0,
+    bf16_head: float = 0,
 ):
     """Build a jitted int8 ``predict(images)`` for (B, D, H, W, C) inputs.
 
@@ -238,6 +239,21 @@ def build_predict_q(
     ``n_blocks`` = int8 encoder + bf16 decoder. A ``.5`` fraction adds
     a HALF block: that block's fused upsample+conv (its expensive full
     -res matmuls) stays int8 and only its second unit + head go bf16.
+
+    ``bf16_head``: number of LEADING encoder blocks served in bf16 — the
+    mixed-precision head. The per-unit sensitivity sweep
+    (tools/int8_sensitivity.py, BASELINE.md) shows the residual PTQ
+    parity loss concentrates in the FIRST encoder block's activation
+    quantization (its post-ReLU outputs have the widest dynamic range
+    relative to the flap-boundary signal), which no decoder-side
+    precision split can recover. The head serves those units with the
+    bf16 engine's fused kernels and quantizes the chain ONCE at the
+    switch (one per-lane affine + round; bf16 halo zeros land exactly on
+    the zero-point -128, the ones lane on +127). ``.5`` fractions switch
+    mid-block (e.g. 0.5 = only d0.0 bf16). A block-i bf16 skip is
+    quantized at its consumption site when the consuming decoder upconv
+    is int8, but reaches the final 1x1 head UNQUANTIZED — the skip's
+    head contribution is where the sliver-thin flap boundary is decided.
     """
     cfg = engine.ENGINE_CONFIGS[model_class]
     if cfg["family"] != "generic":
@@ -249,6 +265,10 @@ def build_predict_q(
     switch = n_blocks - full_tail  # first decoder idx fully bf16
     # with half_tail, block (switch-1) runs its upconv int8 and its
     # second unit bf16 (dequant happens between them)
+    # bf16 head: number of leading encoder UNITS served bf16 (2 per
+    # block; .5 fractions switch after the block's first unit)
+    head_units = int(round(max(0.0, min(float(bf16_head),
+                                        float(n_blocks))) * 2))
     head = cfg["head"]
     params = variables["params"]["unet"]
     stats = variables["batch_stats"]["unet"]
@@ -341,8 +361,11 @@ def build_predict_q(
         [_chan_scales(rec0, p0, cin0 + 1)[:cin0], [_Q1]]
     ).astype(np.float32)
 
-    # encoder: quantize convs, track per-channel scales through pools
+    # encoder: quantize convs, track per-channel scales through pools.
+    # Units t < head_units run bf16 (no quantized weights needed); their
+    # per-unit output scales are kept for the bf16->int8 switch affine.
     enc_q = []
+    enc_s = []  # per block: (s_u0, s_u1) output scales incl. ones
     skips_s = []
     s_cur = s_entry
     for i in range(n_blocks):
@@ -350,12 +373,15 @@ def build_predict_q(
         c0 = d_units[i][0].cout + 1
         s_u0 = _chan_scales(next_rec(), p, c0)
         s_u0[-1] = _Q1
-        q0 = _quant_conv(d_units[i][0], s_cur, s_u0, p)
+        q0 = (None if 2 * i < head_units
+              else _quant_conv(d_units[i][0], s_cur, s_u0, p))
         c1 = d_units[i][1].cout + 1
         s_u1 = _chan_scales(next_rec(), p, c1)
         s_u1[-1] = _Q1
-        q1 = _quant_conv(d_units[i][1], s_u0, s_u1, p)
+        q1 = (None if 2 * i + 1 < head_units
+              else _quant_conv(d_units[i][1], s_u0, s_u1, p))
         enc_q.append((q0, q1))
+        enc_s.append((s_u0, s_u1))
         skips_s.append(s_u1)
         next_rec()  # pool output: scales unchanged
         s_cur = s_u1
@@ -431,6 +457,24 @@ def build_predict_q(
                    (0, cp - pack * s_chan.size))
         return jnp.asarray(v), jnp.asarray(128.0 * v)
 
+    def _quant_vec(s_chan: np.ndarray, pack: int, cp: int):
+        """Per-lane INVERSE scales for the bf16->int8 switch (the exact
+        inverse of :func:`_dequant_vec`): q = round(clip(x*inv, 0, 255))
+        - 128. bf16 halo zeros land on the zero point -128 exactly, the
+        ones lane (s = 1/255) on +127 exactly; pad lanes get inv = 0 ->
+        q = -128 (the int8 chain's fill)."""
+        inv = np.pad(
+            np.tile((1.0 / s_chan).astype(np.float32), pack),
+            (0, cp - pack * s_chan.size),
+        )
+        return jnp.asarray(inv)
+
+    def _to_int8(xc: jax.Array, inv: jax.Array) -> jax.Array:
+        return (
+            jnp.round(jnp.clip(xc.astype(jnp.float32) * inv, 0.0, 255.0))
+            - 128.0
+        ).astype(jnp.int8)
+
     # ---- head: fold dequant scales into the block-diag matrices ---------
     ca_f = u_units[-1][1].cout
     cb_f = d_units[0][1].cout
@@ -448,9 +492,12 @@ def build_predict_q(
         # operand owes 128 * colsum(s*m) to the head bias)
         m_a = m_a * s_lane_a[:, None]
         bias3 = bias3 + 128.0 * m_a.sum(axis=0)
-    # the b operand (encoder level-0 skip) is int8 in every mode
-    m_b = m_b * s_lane_b[:, None]
-    bias3 = bias3 + 128.0 * m_b.sum(axis=0)
+    if head_units < 2:
+        # the b operand (encoder level-0 skip) is int8: fold its dequant.
+        # With a bf16 head covering block 0 the skip reaches the final
+        # 1x1 UNQUANTIZED (the flap boundary's most direct input).
+        m_b = m_b * s_lane_b[:, None]
+        bias3 = bias3 + 128.0 * m_b.sum(axis=0)
     m_full = np.kron(eye, np.asarray(
         [[1.0, 0.0], [0.0, 1.0], [0.0, 1.0]], np.float32))
     m_flap = np.kron(eye, np.asarray(
@@ -487,33 +534,64 @@ def build_predict_q(
 
     def forward_one(x: jax.Array):
         dd_, hh, ww_, _ = x.shape
-        # quantize the input with the zero-point convention q = a/s - 128
-        # (binary skull/atlas channels quantize exactly: 0 -> -128,
-        # 1 -> 127); the appended ones channel is the constant q=127 lane
-        q = jnp.round(
-            jnp.clip(x.astype(jnp.float32) * inv_s_entry[:cin0], 0, 255)
-        ) - 128.0
-        q = jnp.concatenate(
-            [q, jnp.full_like(q[..., :1], 127.0)], -1
-        ).astype(jnp.int8)
         p = p0
-        xc = pc.to_chain(
-            q.reshape(dd_, hh, ww_ // p, p * (cin0 + 1)), p, fill=-128
-        )
+        if head_units > 0:
+            # bf16 head entry (the bf16 engine's): append the ones
+            # channel, chain with zero halos
+            xb = x.astype(compute_dtype)
+            xb = jnp.concatenate([xb, jnp.ones_like(xb[..., :1])], -1)
+            xc = pc.to_chain(
+                xb.reshape(dd_, hh, ww_ // p, p * (cin0 + 1)), p
+            )
+        else:
+            # quantize the input with the zero-point convention
+            # q = a/s - 128 (binary skull/atlas channels quantize
+            # exactly: 0 -> -128, 1 -> 127); the appended ones channel
+            # is the constant q=127 lane
+            q = jnp.round(
+                jnp.clip(x.astype(jnp.float32) * inv_s_entry[:cin0], 0, 255)
+            ) - 128.0
+            q = jnp.concatenate(
+                [q, jnp.full_like(q[..., :1], 127.0)], -1
+            ).astype(jnp.int8)
+            xc = pc.to_chain(
+                q.reshape(dd_, hh, ww_ // p, p * (cin0 + 1)), p, fill=-128
+            )
         dh_, dwp = hh, ww_ // p
         skips = []
+        t = 0  # encoder unit counter (bf16 head -> int8 switch)
         for i in range(n_blocks):
-            (pw0, ps0, pb0), (pw1, ps1, pb1) = enc_q[i]
-            xc = pc.conv3d_chain_q(xc, pw0, ps0, pb0, dh_, dwp,
-                                   interpret=interpret, zp=True)
-            xc = pc.conv3d_chain_q(xc, pw1, ps1, pb1, dh_, dwp,
-                                   interpret=interpret, zp=True)
+            for j in (0, 1):
+                if t < head_units:
+                    xc = d_units[i][j].call_chain(
+                        xc, p, dh_, dwp, ones_in=True, ones_out=True
+                    )
+                else:
+                    pw, ps, pb = enc_q[i][j]
+                    xc = pc.conv3d_chain_q(xc, pw, ps, pb, dh_, dwp,
+                                           interpret=interpret, zp=True)
+                t += 1
+                if t == head_units and j == 0:
+                    # mid-block bf16 -> int8 switch: one per-lane affine
+                    xc = _to_int8(
+                        xc, _quant_vec(enc_s[i][j], p, xc.shape[-1])
+                    )
             cout = d_units[i][1].cout
             skips.append((xc, p, cout, dh_, dwp))
+            if t == head_units and head_units == 2 * (i + 1):
+                # block-boundary switch: the block's SKIP stays bf16
+                # (stored above); only the pooled main path quantizes.
+                # Quantize before the pool — int8 max pooling of the
+                # quantized tensor equals quantizing the bf16 pool
+                # exactly (max is monotonic, scales are per-channel).
+                xc = _to_int8(
+                    xc, _quant_vec(enc_s[i][1], p, xc.shape[-1])
+                )
+            is_q = xc.dtype == jnp.int8
             if plan_enc[i][3] == "chain":
                 xc = pc.maxpool2_chain(
                     xc, dh_, dwp, p, cout + 1, interpret=interpret,
-                    fill=-128,
+                    fill=-128 if is_q else 0,
                 )
                 p //= 2
             else:
@@ -526,7 +604,7 @@ def build_predict_q(
                     d2, 2, h2, 2, w2, 2, xp.shape[3]
                 ).max((1, 3, 5))
                 dwp //= 2
-                xc = pc.to_chain(xp, p, fill=-128)
+                xc = pc.to_chain(xp, p, fill=-128 if is_q else 0)
             dh_ //= 2
         a_chain, ap = xc, p
         b = None
@@ -553,9 +631,16 @@ def build_predict_q(
                 ap, dwp = repack_to
             if idx < switch:
                 (ma, mb, s2, b2), q1 = dec_q[idx]
+                b_c = None if b is None else b[0]
+                if b_c is not None and b_c.dtype != jnp.int8:
+                    # bf16-head skip feeding an int8 upconv: quantize at
+                    # the consumption site (its head-path copy stays bf16)
+                    b_c = _to_int8(
+                        b_c, _quant_vec(b_scale, b[1], b_c.shape[-1])
+                    )
                 a_chain = uc.upconv_fused_chain(
                     a_chain, ma, b2, dh_, dwp,
-                    b_chain=None if b is None else b[0],
+                    b_chain=b_c,
                     mats_b=mb, scale2=s2, interpret=interpret, zp=True,
                 )
                 ap *= 2
@@ -582,7 +667,9 @@ def build_predict_q(
             else:
                 ma, mb, pbias2 = bf16_up[idx]
                 b_c = None
-                if b is not None:
+                if b is not None and b[0].dtype != jnp.int8:
+                    b_c = b[0]  # bf16-head skip: already float
+                elif b is not None:
                     bv, boff = _dequant_vec(b_scale, b[1], b[0].shape[-1])
                     b_c = (
                         b[0].astype(jnp.float32) * bv + boff

@@ -741,6 +741,9 @@ class Model:
                             bf16_tail=float(
                                 self.params.get("int8_bf16_tail") or 0
                             ),
+                            bf16_head=float(
+                                self.params.get("int8_bf16_head") or 0
+                            ),
                         )
                         # the returned jitted fn traces lazily on first
                         # call — force the trace NOW so trace-time
@@ -818,6 +821,9 @@ class Model:
                             ),
                             bf16_tail=float(
                                 self.params.get("int8_bf16_tail") or 0
+                            ),
+                            bf16_head=float(
+                                self.params.get("int8_bf16_head") or 0
                             ),
                         )
                         # force the trace inside the guard (see the

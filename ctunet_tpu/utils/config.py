@@ -85,6 +85,11 @@ def default_params() -> Dict[str, Any]:
                                       # inside the int8 chain (PTQ mask
                                       # parity; 0 = fully int8, .5 = half
                                       # block: only the last unit + head)
+        "int8_bf16_head": 0,          # leading ENCODER blocks served bf16
+                                      # (PTQ parity: the sensitivity sweep
+                                      # pins the loss on the first block's
+                                      # activation quantization; .5 = only
+                                      # the block's first unit)
         "train_patch_size": 0,        # >0: random-crop patch training
         "prefetch_depth": 2,          # host->device pipeline depth
         "serve_profile": False,       # print per-stage serving-loop times

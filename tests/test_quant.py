@@ -353,6 +353,60 @@ def test_int8_engine_bf16_tail(rng):
     assert errs[4] < 5e-3, errs  # only encoder quant noise remains
 
 
+def test_int8_engine_bf16_head(rng):
+    """Mixed-precision HEAD: the first encoder unit(s) served in the
+    engine's float path, with one quantize affine at the switch. More
+    head => strictly less quantization noise; the level-0 skip of a
+    full-block head reaches the final 1x1 unquantized while its pooled
+    main path quantizes at the switch."""
+    from ctunet_tpu import engine, engine_q
+    from ctunet_tpu.models import build_model
+
+    shape = (16, 16, 32)
+    m = build_model("UNetSP", compute_dtype="float32", use_checkpoint=False)
+    x0 = jnp.zeros((1, *shape, 2), jnp.float32)
+    vs = jax.jit(m.init, static_argnums=(2,))(jax.random.key(0), x0, False)
+    stats = jax.tree.map(
+        lambda s: s * (1.0 + 0.1 * jax.random.uniform(
+            jax.random.key(1), s.shape
+        )) + 0.01,
+        vs["batch_stats"],
+    )
+    vs = {"params": vs["params"], "batch_stats": stats}
+    x = jnp.asarray((rng.random((1, *shape, 2)) > 0.5).astype(np.float32))
+
+    want = engine.build_predict(
+        "UNetSP", vs, compute_dtype=jnp.float32, interpret=True
+    )(x)
+    w_leaves = [np.asarray(w, np.float32) for w in jax.tree.leaves(want)]
+
+    errs = {}
+    for head in (0, 0.5, 1, 2):
+        got = engine_q.build_predict_q(
+            "UNetSP", vs, x[0], compute_dtype=jnp.float32, interpret=True,
+            bf16_head=head,
+        )(x)
+        g_leaves = [np.asarray(g, np.float32) for g in jax.tree.leaves(got)]
+        errs[head] = float(np.mean([
+            np.abs(g - w).mean() for g, w in zip(g_leaves, w_leaves)
+        ]))
+        for g, w in zip(g_leaves, w_leaves):
+            assert (g.argmax(-1) == w.argmax(-1)).mean() > 0.99
+
+    assert errs[0.5] <= errs[0] * 1.05, errs
+    assert errs[1] <= errs[0.5] * 1.05, errs
+    assert errs[2] <= errs[0] , errs
+
+    # head + tail compose: full head + full tail leaves only the middle
+    got = engine_q.build_predict_q(
+        "UNetSP", vs, x[0], compute_dtype=jnp.float32, interpret=True,
+        bf16_head=1, bf16_tail=1,
+    )(x)
+    for g, w in zip(jax.tree.leaves(got), w_leaves):
+        assert (np.asarray(g, np.float32).argmax(-1)
+                == w.argmax(-1)).mean() > 0.99
+
+
 def _emulate_q_zp(x_q, w_int, scale, bias, s_in):
     """Float emulation of the ZERO-POINT quantized conv: input lanes hold
     q = a/s_in - 128, the builder folds 128*sum(W*s_in) into the bias,

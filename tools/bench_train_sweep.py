@@ -89,10 +89,20 @@ def main():
               f"{' '.join(f'{v:.5f}' for v in losses)}", flush=True)
         packed_conv.set_conv_impl("xla")
 
-    run("std/xla", "xla", False)
-    run("std/xla_dw", "xla_dw", False)
-    run("packed/xla", "xla", True)
-    run("packed/xla_dw", "xla_dw", True)
+    configs = {
+        "std/xla": ("xla", False),
+        "std/xla_dw": ("xla_dw", False),
+        "packed/xla": ("xla", True),
+        "packed/xla_dw": ("xla_dw", True),
+    }
+    want = [a for a in sys.argv[1:] if a in configs]
+    for label in (want or configs):
+        impl, packed = configs[label]
+        try:
+            run(label, impl, packed)
+        except Exception as e:  # e.g. HBM OOM on one config
+            print(f"[{label}] FAILED: {type(e).__name__}: {e}", flush=True)
+            packed_conv.set_conv_impl("xla")
 
 
 if __name__ == "__main__":

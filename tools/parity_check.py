@@ -106,6 +106,11 @@ def main():
                           os.path.join(REPO, ".jax_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         print(f"loading trained checkpoint {ckpt_path} (skip training)")
+        # the --steps default would mislabel a loaded checkpoint; infer
+        # the step count from the checkpoint name (".._10k") if present
+        base = os.path.basename(ckpt_path)
+        if "10k" in base:
+            steps_n = 10000
         model = build_model("UNetSP", compute_dtype="bfloat16")
         variables = ckpt_mod.load_any(ckpt_path, "UNetSP")
         atlas = spherical_shell(SHAPE, radius_frac=0.42).astype("float32")
@@ -151,18 +156,23 @@ def main():
         np.stack([np.asarray(calib_broken, np.float32), atlas], -1),
         jnp.bfloat16,
     )
-    q_masks = {}  # tail -> (sk, fl)
+    q_masks = {}  # (head, tail) -> (sk, fl)
     try:
-        for tail in (0, 1, 2, 3, 4):
+        for head, tail in (
+            (0, 0), (0, 1), (0, 2),
+            (0.5, 0), (1, 0), (1.5, 0), (2, 0),
+            (1, 0.5), (1, 1), (1.5, 0.5),
+        ):
             predict_q = engine_q.build_predict_q(
-                "UNetSP", variables, calib, bf16_tail=tail
+                "UNetSP", variables, calib, bf16_tail=tail, bf16_head=head
             )
             outs_q = predict_q(jnp.asarray(x_all, jnp.bfloat16))
-            q_masks[tail] = (
+            q_masks[(head, tail)] = (
                 np.argmax(np.asarray(outs_q[0], np.float32), -1),
                 np.argmax(np.asarray(outs_q[1], np.float32), -1),
             )
-            print(f"  int8 engine (bf16_tail={tail}) done", flush=True)
+            print(f"  int8 engine (head={head}, tail={tail}) done",
+                  flush=True)
     except Exception as e:
         print(f"int8 engine skipped: {type(e).__name__}: {e}", flush=True)
     # and a true-f32 forward (f32-built model, same params) for a
@@ -220,11 +230,11 @@ def main():
         "dice_fl_xla_f32": round(dice(ours32_fl, ref_fl), 6),
         **{
             k: v
-            for tail, (m_sk, m_fl) in sorted(q_masks.items())
+            for (head, tail), (m_sk, m_fl) in sorted(q_masks.items())
             for k, v in {
-                f"dice_sk_engine_int8_tail{tail}".replace(".5", "h"):
+                f"dice_sk_engine_int8_h{head}_t{tail}".replace(".5", "h"):
                     round(dice(m_sk, ref_sk), 6),
-                f"dice_fl_engine_int8_tail{tail}".replace(".5", "h"):
+                f"dice_fl_engine_int8_h{head}_t{tail}".replace(".5", "h"):
                     round(dice(m_fl, ref_fl), 6),
             }.items()
         },
