@@ -115,7 +115,8 @@ def _chan_scales(rec: np.ndarray, pack: int, cstride: int) -> np.ndarray:
     return (mx / _QMAX).astype(np.float32)
 
 
-def _quant_conv(unit, s_in: np.ndarray, s_out: np.ndarray, pack: int):
+def _quant_conv(unit, s_in: np.ndarray, s_out: np.ndarray, pack: int,
+                override: Optional[Dict[str, np.ndarray]] = None):
     """int8 packed weights + requant scale/bias for one Conv+BN+ReLU unit.
 
     ``s_in``/``s_out`` are per-channel activation scales INCLUDING the ones
@@ -139,6 +140,17 @@ def _quant_conv(unit, s_in: np.ndarray, s_out: np.ndarray, pack: int):
     amax = np.abs(w_s).max(axis=(0, 1, 2, 3))
     k = np.where(amax > 0, 127.0 / np.maximum(amax, _EPS), 1.0)
     q_w = np.clip(np.round(w_s * k[None, None, None, None, :]), -127, 127)
+    if override is not None:
+        # AdaQuant (quant_opt.optimize_rounding): calibration-optimized
+        # integer weights + float bias delta for the REAL channels. The
+        # ones lanes keep their engine-computed values; the zero-point
+        # correction below recomputes from the overridden q_w, so the
+        # exact empty-voxel integer algebra is preserved.
+        ci, co = override["q"].shape[3], override["q"].shape[4]
+        q_w[..., :ci, :co] = override["q"]
+        k[:co] = override["k"]
+        bias = bias.copy()
+        bias[:co] = bias[:co] + override["db"]
     corr = 128.0 * q_w.sum(axis=(0, 1, 2, 3)) / k  # exact zp correction
     scale_ref = (1.0 / (k * s_out)).astype(np.float32)
     bias_ref = ((bias + corr) / s_out).astype(np.float32)
@@ -218,6 +230,8 @@ def build_predict_q(
     calib_quantile: float = 1.0,
     bf16_tail: int = 0,
     bf16_head: float = 0,
+    round_opt: Optional[Dict[str, Dict[str, np.ndarray]]] = None,
+    export_scales: Optional[Dict[str, Any]] = None,
 ):
     """Build a jitted int8 ``predict(images)`` for (B, D, H, W, C) inputs.
 
@@ -254,6 +268,18 @@ def build_predict_q(
     quantized at its consumption site when the consuming decoder upconv
     is int8, but reaches the final 1x1 head UNQUANTIZED — the skip's
     head contribution is where the sliver-thin flap boundary is decided.
+
+    ``round_opt``: per-unit AdaQuant weight overrides from
+    :func:`ctunet_tpu.quant_opt.optimize_rounding` — calibration-
+    optimized integer weights replacing round-to-nearest for the plain
+    conv units (tags ``d{i}.{j}``/``u{idx}.1``). The upconv composites
+    keep RTN rounding (their composite response has no standard-layout
+    optimization target).
+
+    ``export_scales``: pass a dict to have the build fill it with the
+    calibrated per-channel activation scales (``{"entry": s, tag:
+    (s_in, s_out), ...}``, ones lanes included) — the optimizer consumes
+    these so its folding matches this build bit-for-bit.
     """
     cfg = engine.ENGINE_CONFIGS[model_class]
     if cfg["family"] != "generic":
@@ -368,18 +394,26 @@ def build_predict_q(
     enc_s = []  # per block: (s_u0, s_u1) output scales incl. ones
     skips_s = []
     s_cur = s_entry
+    ropt = round_opt or {}
+    if export_scales is not None:
+        export_scales["entry"] = s_entry
     for i in range(n_blocks):
         p = plan_enc[i][0]
         c0 = d_units[i][0].cout + 1
         s_u0 = _chan_scales(next_rec(), p, c0)
         s_u0[-1] = _Q1
         q0 = (None if 2 * i < head_units
-              else _quant_conv(d_units[i][0], s_cur, s_u0, p))
+              else _quant_conv(d_units[i][0], s_cur, s_u0, p,
+                               ropt.get(f"d{i}.0")))
         c1 = d_units[i][1].cout + 1
         s_u1 = _chan_scales(next_rec(), p, c1)
         s_u1[-1] = _Q1
         q1 = (None if 2 * i + 1 < head_units
-              else _quant_conv(d_units[i][1], s_u0, s_u1, p))
+              else _quant_conv(d_units[i][1], s_u0, s_u1, p,
+                               ropt.get(f"d{i}.1")))
+        if export_scales is not None:
+            export_scales[f"d{i}.0"] = (s_cur, s_u0)
+            export_scales[f"d{i}.1"] = (s_u0, s_u1)
         enc_q.append((q0, q1))
         enc_s.append((s_u0, s_u1))
         skips_s.append(s_u1)
@@ -406,6 +440,9 @@ def build_predict_q(
         c1 = u_units[idx][1].cout + 1
         s_u1 = _chan_scales(next_rec(), 2 * pa, c1)
         s_u1[-1] = _Q1
+        if export_scales is not None:
+            export_scales[f"u{idx}.0"] = s_up
+            export_scales[f"u{idx}.1"] = (s_up, s_u1)
         if idx < switch:
             qu = _quant_upconv(
                 up_raw[idx], u_units[idx][0], ca, s_a, s_b, s_up, pa
@@ -413,7 +450,8 @@ def build_predict_q(
             if half_tail and idx == switch - 1:
                 q1 = None  # half tail: unit1 served bf16
             else:
-                q1 = _quant_conv(u_units[idx][1], s_up, s_u1, 2 * pa)
+                q1 = _quant_conv(u_units[idx][1], s_up, s_u1, 2 * pa,
+                                 ropt.get(f"u{idx}.1"))
             dec_q.append((qu, q1))
         else:
             dec_q.append(None)  # served bf16 (mixed-precision tail)
@@ -699,3 +737,43 @@ def build_predict_q(
         return engine._batch_unrolled(forward_one, images)
 
     return predict
+
+
+def build_predict_q_opt(
+    model_class: str,
+    variables: Dict[str, Any],
+    calib_volume: jax.Array,
+    adaquant_steps: int = 250,
+    adaquant_lr: float = 0.03,
+    calib_batch: Optional[np.ndarray] = None,
+    verbose: bool = False,
+    **kw,
+):
+    """:func:`build_predict_q` with AdaQuant rounding optimization.
+
+    Builds once to export the calibrated activation scales, runs
+    :func:`ctunet_tpu.quant_opt.optimize_rounding` on the calibration
+    volume(s) (~a minute on a TPU chip at 128-res; proportional at other
+    sizes), then builds the served engine with the optimized integer
+    weights. ``calib_batch`` (N, D, H, W, C) defaults to the single
+    calibration volume.
+    """
+    from . import quant_opt
+
+    scales: Dict[str, Any] = {}
+    build_predict_q(
+        model_class, variables, calib_volume,
+        export_scales=scales, jit=False, **kw
+    )
+    cb = (
+        np.asarray(calib_batch, np.float32)
+        if calib_batch is not None
+        else np.asarray(calib_volume, np.float32)[None]
+    )
+    ropt = quant_opt.optimize_rounding(
+        model_class, variables, cb, scales,
+        steps=adaquant_steps, lr=adaquant_lr, verbose=verbose,
+    )
+    return build_predict_q(
+        model_class, variables, calib_volume, round_opt=ropt, **kw
+    )

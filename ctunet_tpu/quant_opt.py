@@ -1,0 +1,289 @@
+"""AdaQuant: calibration-time weight-rounding optimization for the int8
+serving engine.
+
+Post-training quantization rounds each folded conv weight to its nearest
+point on the per-output-channel int8 grid. On trained checkpoints that
+round-to-nearest (RTN) choice is measurably NOT optimal for mask parity:
+the per-unit sensitivity sweep (tools/int8_sensitivity.py) shows flap
+Dice capped at ~0.991 by weight rounding ALONE (activations served in
+float), and the engine's all-int8 parity lands at ~0.984.
+
+This module implements sequential AdaQuant (Hubara et al. 2020 lineage;
+see PAPERS.md): unit by unit, in forward order, optimize the INTEGER
+weights and the float requant bias of each Conv+BN+ReLU unit to minimize
+the unit-output MSE against the float forward — evaluated on the
+activations the quantized network ACTUALLY produces (so each unit also
+compensates the accumulated quantization error of its predecessors).
+Optimization runs on the straight-through-estimator rounding of a
+continuous proxy, on one or a few calibration volumes, ~a minute on a
+TPU chip for the UNetSP family at 128-res.
+
+The output is a per-unit override dict consumed by
+``engine_q.build_predict_q(round_opt=...)``:
+
+- ``q``: (3,3,3,Cin,Cout) integer weights on the SAME grid RTN used
+  (``k = 127/max|w_eff * s_in|`` per output channel, recomputed here
+  from the engine-exported scales so the grids match bit-for-bit),
+- ``k``: that per-channel grid scale,
+- ``db``: float bias delta (the engine's requant bias is float, so the
+  correction is exactly representable).
+
+The engine's zero-point algebra is untouched: the exact empty-voxel
+integer correction is recomputed from the overridden integers, so
+all-zero regions still produce exactly zero (the property whose loss
+collapsed parity in the float-correction experiment, BASELINE.md).
+
+Only plain conv units are optimized (encoder ``d{i}.{j}`` and decoder
+second units ``u{idx}.1``). The decoder's fused upsample+conv composites
+keep RTN: their quantization applies to the COMPOSITE response in chain
+space, which has no standard-layout optimization target; the sensitivity
+sweep ranks all of them mild (flap >= 0.995 each).
+
+No reference counterpart (the reference serves f32 on CPU,
+``ctunet/pytorch/ProblemHandler.py:311-354`` masks are the behavior this
+protects); this closes the int8 serving mode's parity gap.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.packed_resident import _CONFIGS
+from .ops.packed_conv import packed_conv3d
+
+_EPS_BN = 1e-5
+_EPS = 1e-8
+_QMAX = 255.0
+
+
+def supports(model_class: str) -> bool:
+    return model_class in _CONFIGS
+
+
+def _unit_wb(params, stats):
+    """BN-folded effective kernel + bias of one Conv+BN+ReLU unit
+    (identical folding to ``engine._FusedUnit``)."""
+    inv = np.asarray(
+        jax.lax.rsqrt(np.asarray(stats["bn"]["var"], np.float32) + _EPS_BN)
+    ) * np.asarray(params["bn"]["scale"], np.float32)
+    shift = np.asarray(params["bn"]["bias"], np.float32) - np.asarray(
+        stats["bn"]["mean"], np.float32) * inv
+    w = np.asarray(params["conv"]["kernel"], np.float32)
+    if "bias" in params["conv"]:
+        shift = shift + np.asarray(params["conv"]["bias"], np.float32) * inv
+    return w * inv[None, None, None, None, :], shift
+
+
+def _fq_in(x: jax.Array, s: np.ndarray) -> jax.Array:
+    """Engine entry/requant activation quantization, dequantized:
+    q = clip(round(x/s), 0, 255), a_hat = q*s."""
+    sv = jnp.asarray(s, jnp.float32)
+    return jnp.clip(jnp.round(x / sv), 0.0, _QMAX) * sv
+
+
+def _grid(w_eff: np.ndarray, s_in: np.ndarray):
+    """RTN grid for a folded kernel: w_s = w_eff*s_in, k = 127/max|w_s|
+    per out channel — must match ``engine_q._quant_conv`` exactly."""
+    w_s = w_eff * s_in.astype(np.float32)[None, None, None, :, None]
+    amax = np.abs(w_s).max(axis=(0, 1, 2, 3))
+    k = np.where(amax > 0, 127.0 / np.maximum(amax, _EPS), 1.0)
+    return w_s, k.astype(np.float32)
+
+
+def _ste_round(c: jax.Array) -> jax.Array:
+    r = jnp.clip(jnp.round(c), -127.0, 127.0)
+    return c + jax.lax.stop_gradient(r - c)
+
+
+def _conv(x: jax.Array, w: jax.Array) -> jax.Array:
+    return packed_conv3d(x, w)
+
+
+def optimize_rounding(
+    model_class: str,
+    variables: Dict[str, Any],
+    calib_batch,
+    scales: Dict[str, Any],
+    steps: int = 250,
+    lr: float = 0.03,
+    tags: Optional[set] = None,
+    verbose: bool = False,
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """Sequential AdaQuant over the generic-UNet conv units.
+
+    :param calib_batch: (N, D, H, W, Cin) float calibration volumes.
+    :param scales: the engine's exported per-tag activation scales
+        (``build_predict_q(export_scales=...)``): ``{"entry": s,
+        "d{i}.{j}" | "u{idx}.1": (s_in, s_out), "u{idx}.0": s_up}``,
+        ones lanes included (stripped here).
+    :param tags: optional subset of unit tags to optimize (default all).
+    :returns: ``{tag: {"q", "k", "db"}}`` for ``round_opt=``.
+    """
+    if not supports(model_class):
+        raise ValueError(f"quant_opt: unsupported model {model_class}")
+    import optax
+
+    cfg = _CONFIGS[model_class]
+    n = cfg["n_blocks"]
+    params = variables["params"]["unet"]
+    stats = variables["batch_stats"]["unet"]
+    x = jnp.asarray(calib_batch, jnp.float32)
+
+    overrides: Dict[str, Dict[str, np.ndarray]] = {}
+
+    def unit_opt(tag, x_f, x_hat, pu, su):
+        """Optimize one unit; returns (y_float, y_hat_prequant)."""
+        w_eff, shift = _unit_wb(pu, su)
+        y_f = jnp.maximum(_conv(x_f, jnp.asarray(w_eff)) + shift, 0.0)
+        s_in = np.asarray(scales[tag][0], np.float32)[:-1]  # strip ones
+        w_s, k = _grid(w_eff, s_in)
+        if tags is not None and tag not in tags:
+            # RTN for un-optimized units (still sequentially exact)
+            q = np.clip(np.round(w_s * k), -127, 127)
+            w_dq = q / k / s_in[:, None]
+            y_hat = jnp.maximum(
+                _conv(x_hat, jnp.asarray(w_dq, jnp.float32)) + shift, 0.0
+            )
+            return y_f, y_hat
+        c0 = jnp.asarray(w_s * k, jnp.float32)
+        kv = jnp.asarray(k)
+        sv = jnp.asarray(s_in)[:, None]
+        shift_v = jnp.asarray(shift)
+        s_out = np.asarray(scales[tag][1], np.float32)[:-1]
+        s_out_v = jnp.asarray(s_out)  # db parametrized in requant LEVELS
+
+        y_norm = float(jnp.mean(jnp.square(y_f)))
+        if y_norm <= 0.0:
+            # dead unit on the calibration set (all-zero output): RTN
+            q = np.clip(np.round(w_s * k), -127, 127)
+            overrides[tag] = {
+                "q": q.astype(np.float32), "k": k,
+                "db": np.zeros(w_eff.shape[-1], np.float32),
+            }
+            w_dq = q / k / s_in[:, None]
+            y_hat = jnp.maximum(
+                _conv(x_hat, jnp.asarray(w_dq, jnp.float32)) + shift_v, 0.0
+            )
+            return y_f, y_hat
+
+        def fwd(c, db):
+            w_dq = _ste_round(c) / kv / sv
+            return jnp.maximum(
+                _conv(x_hat, w_dq) + shift_v + db * s_out_v, 0.0
+            )
+
+        def loss_fn(p):
+            return jnp.mean(jnp.square(fwd(p["c"], p["db"]) - y_f)) / y_norm
+
+        opt = optax.adam(lr)
+        p = {"c": c0, "db": jnp.zeros(w_eff.shape[-1], jnp.float32)}
+        st = opt.init(p)
+
+        @jax.jit
+        def step(p, st):
+            l, g = jax.value_and_grad(loss_fn)(p)
+            up, st = opt.update(g, st)
+            return optax.apply_updates(p, up), st, l
+
+        # keep the BEST-loss iterate (Adam oscillates near the optimum
+        # at these tiny losses; init IS the RTN baseline, so the result
+        # is never worse than RTN on the calibration objective). step()
+        # returns the loss AT ITS INPUT iterate, so pair l with the
+        # pre-update params.
+        best_l = l0 = None
+        best_p = p
+        for _ in range(steps):
+            new_p, st, l = step(p, st)
+            lf = float(l)
+            if l0 is None:
+                l0 = lf
+            if best_l is None or lf < best_l:
+                best_l, best_p = lf, p
+            p = new_p
+        lf = float(loss_fn(p))
+        if lf < best_l:
+            best_l, best_p = lf, p
+        q = np.clip(np.round(np.asarray(best_p["c"])), -127, 127)
+        db = np.asarray(best_p["db"], np.float32) * s_out
+        overrides[tag] = {
+            "q": q.astype(np.float32), "k": k, "db": db,
+        }
+        if verbose:
+            flips = int((q != np.clip(np.round(w_s * k), -127, 127)).sum())
+            print(f"  {tag}: loss {l0:.3e} -> {best_l:.3e}, "
+                  f"{flips}/{q.size} ints changed, |db|max "
+                  f"{np.abs(db).max():.2e}", flush=True)
+        w_dq = jnp.asarray(q) / kv / sv
+        y_hat = jnp.maximum(
+            _conv(x_hat, w_dq) + shift_v + jnp.asarray(db), 0.0
+        )
+        return y_f, y_hat
+
+    # ---- entry ----------------------------------------------------------
+    s_entry = np.asarray(scales["entry"], np.float32)[:-1]
+    x_f = x
+    x_hat = _fq_in(x, s_entry)
+
+    skips_f, skips_hat = [], []
+    for i in range(n):
+        for j in range(2):
+            tag = f"d{i}.{j}"
+            x_f, x_hat = unit_opt(
+                tag, x_f, x_hat,
+                params[f"d{i}"][f"unit{j}"], stats[f"d{i}"][f"unit{j}"],
+            )
+            s_out = np.asarray(scales[tag][1], np.float32)[:-1]
+            x_hat = _fq_in(x_hat, s_out)
+        skips_f.append(x_f)
+        skips_hat.append(x_hat)
+        x_f = _maxpool(x_f)
+        x_hat = _maxpool(x_hat)  # int8 max pool is exact: same scales
+
+    for idx in range(n):
+        i = n - 1 - idx
+        up = params[f"u{idx}"]["upconv"]
+        if idx == 0:
+            cat_f, cat_hat = x_f, x_hat
+        else:
+            cat_f = jnp.concatenate([x_f, skips_f[i + 1]], -1)
+            cat_hat = jnp.concatenate([x_hat, skips_hat[i + 1]], -1)
+        # fused upsample+conv composite: RTN in the engine (see module
+        # docstring) — float weights here, activations quantized at s_up
+        ku = jnp.asarray(up["kernel"], jnp.float32)
+        bu = jnp.asarray(up["bias"], jnp.float32)
+        w0_eff, shift0 = _unit_wb(
+            params[f"u{idx}"]["unit0"], stats[f"u{idx}"]["unit0"]
+        )
+        s_up = np.asarray(scales[f"u{idx}.0"], np.float32)[:-1]
+
+        def upconv0(xin):
+            h = _convt2x2(xin, ku, bu)
+            return jnp.maximum(_conv(h, jnp.asarray(w0_eff)) + shift0, 0.0)
+
+        x_f = upconv0(cat_f)
+        x_hat = _fq_in(upconv0(cat_hat), s_up)
+        tag = f"u{idx}.1"
+        x_f, x_hat = unit_opt(
+            tag, x_f, x_hat,
+            params[f"u{idx}"]["unit1"], stats[f"u{idx}"]["unit1"],
+        )
+        s_out = np.asarray(scales[tag][1], np.float32)[:-1]
+        x_hat = _fq_in(x_hat, s_out)
+
+    return overrides
+
+
+def _maxpool(x):
+    b, d, h, w, c = x.shape
+    return x.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, c).max((2, 4, 6))
+
+
+def _convt2x2(x, kernel, bias):
+    """k2s2 transposed conv (transpose_kernel semantics), einsum form."""
+    y = jnp.einsum("nzyxi,abcoi->nzaybxco", x, kernel)
+    nb, d, _, h, _, w, _, co = y.shape
+    return y.reshape(nb, 2 * d, 2 * h, 2 * w, co) + bias

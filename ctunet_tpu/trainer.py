@@ -730,8 +730,14 @@ class Model:
                 if use_q and shape not in q_by_shape:
                     from . import engine_q
 
+                    builder, extra = engine_q.build_predict_q, {}
+                    if self.params.get("int8_adaquant"):
+                        builder = engine_q.build_predict_q_opt
+                        extra = dict(adaquant_steps=int(
+                            self.params.get("int8_adaquant_steps") or 250
+                        ))
                     try:
-                        qfn = engine_q.build_predict_q(
+                        qfn = builder(
                             self.params["model_class"], variables, x[0],
                             compute_dtype=compute_dtype,
                             calib_quantile=float(
@@ -744,6 +750,7 @@ class Model:
                             bf16_head=float(
                                 self.params.get("int8_bf16_head") or 0
                             ),
+                            **extra,
                         )
                         # the returned jitted fn traces lazily on first
                         # call — force the trace NOW so trace-time
@@ -811,8 +818,14 @@ class Model:
                             ctr, (ps, ps, ps),
                         ))
                     calib = jnp.stack(chans, axis=-1)
+                    builder, extra = engine_q.build_predict_q, {}
+                    if self.params.get("int8_adaquant"):
+                        builder = engine_q.build_predict_q_opt
+                        extra = dict(adaquant_steps=int(
+                            self.params.get("int8_adaquant_steps") or 250
+                        ))
                     try:
-                        q = engine_q.build_predict_q(
+                        q = builder(
                             self.params["model_class"], variables,
                             calib, compute_dtype=compute_dtype,
                             calib_quantile=float(
@@ -825,6 +838,7 @@ class Model:
                             bf16_head=float(
                                 self.params.get("int8_bf16_head") or 0
                             ),
+                            **extra,
                         )
                         # force the trace inside the guard (see the
                         # whole-volume path): trace-time tile-fit /

@@ -90,6 +90,12 @@ def default_params() -> Dict[str, Any]:
                                       # pins the loss on the first block's
                                       # activation quantization; .5 = only
                                       # the block's first unit)
+        "int8_adaquant": False,       # calibration-time weight-rounding
+                                      # optimization (quant_opt): recovers
+                                      # int8 PTQ mask parity at zero
+                                      # serving cost; adds ~1 min to the
+                                      # first int8 build per shape
+        "int8_adaquant_steps": 250,   # Adam steps per conv unit
         "train_patch_size": 0,        # >0: random-crop patch training
         "prefetch_depth": 2,          # host->device pipeline depth
         "serve_profile": False,       # print per-stage serving-loop times

@@ -407,6 +407,69 @@ def test_int8_engine_bf16_head(rng):
                 == w.argmax(-1)).mean() > 0.99
 
 
+def test_int8_engine_adaquant(rng):
+    """AdaQuant rounding optimization: exported scales feed
+    quant_opt.optimize_rounding, whose integer overrides plug back into
+    the engine via round_opt and do not regress the RTN engine's
+    agreement with the float engine (on the calibration volume itself
+    the per-unit objective is keep-best, so it cannot be worse)."""
+    from ctunet_tpu import engine, engine_q, quant_opt
+    from ctunet_tpu.models import build_model
+
+    shape = (16, 16, 32)
+    m = build_model("UNetSP", compute_dtype="float32", use_checkpoint=False)
+    x0 = jnp.zeros((1, *shape, 2), jnp.float32)
+    vs = jax.jit(m.init, static_argnums=(2,))(jax.random.key(0), x0, False)
+    stats = jax.tree.map(
+        lambda s: s * (1.0 + 0.1 * jax.random.uniform(
+            jax.random.key(1), s.shape
+        )) + 0.01,
+        vs["batch_stats"],
+    )
+    vs = {"params": vs["params"], "batch_stats": stats}
+    x = jnp.asarray((rng.random((1, *shape, 2)) > 0.5).astype(np.float32))
+
+    want = engine.build_predict(
+        "UNetSP", vs, compute_dtype=jnp.float32, interpret=True
+    )(x)
+    w_leaves = [np.asarray(w, np.float32) for w in jax.tree.leaves(want)]
+
+    scales: dict = {}
+    engine_q.build_predict_q(
+        "UNetSP", vs, x[0], compute_dtype=jnp.float32, interpret=True,
+        export_scales=scales, jit=False,
+    )
+    assert "entry" in scales and "d0.0" in scales and "u3.1" in scales
+
+    def err(ropt):
+        got = engine_q.build_predict_q(
+            "UNetSP", vs, x[0], compute_dtype=jnp.float32, interpret=True,
+            round_opt=ropt,
+        )(x)
+        g_leaves = [np.asarray(g, np.float32) for g in jax.tree.leaves(got)]
+        for g, w in zip(g_leaves, w_leaves):
+            assert (g.argmax(-1) == w.argmax(-1)).mean() > 0.99
+        return float(np.mean([
+            np.abs(g - w).mean() for g, w in zip(g_leaves, w_leaves)
+        ]))
+
+    e_rtn = err(None)
+    ropt = quant_opt.optimize_rounding(
+        "UNetSP", vs, np.asarray(x, np.float32), scales, steps=40, lr=0.03
+    )
+    assert set(ropt) == {
+        f"d{i}.{j}" for i in range(4) for j in range(2)
+    } | {f"u{i}.1" for i in range(4)}
+    for tag, ov in ropt.items():
+        assert ov["q"].shape[:3] == (3, 3, 3)
+        assert np.all(ov["q"] == np.round(ov["q"]))  # integer-valued
+        assert np.all(np.abs(ov["q"]) <= 127)
+    e_opt = err(ropt)
+    # calibration == eval volume here, so AdaQuant cannot be worse than
+    # RTN beyond upconv-composite noise (those keep RTN)
+    assert e_opt <= e_rtn * 1.02, (e_rtn, e_opt)
+
+
 def _emulate_q_zp(x_q, w_int, scale, bias, s_in):
     """Float emulation of the ZERO-POINT quantized conv: input lanes hold
     q = a/s_in - 128, the builder folds 128*sum(W*s_in) into the bias,

@@ -65,12 +65,18 @@ def main():
         return thr
 
     t_bf16 = timed(engine.build_predict("UNetSP", variables), "bf16 engine")
-    for tail in (0, 1, 2):
+    configs = [(0, 0), (0, 1), (0, 2), (0.5, 0), (1, 0), (2, 0)]
+    if "--configs" in sys.argv:
+        configs = [
+            tuple(float(v) for v in pair.split(":"))
+            for pair in sys.argv[sys.argv.index("--configs") + 1].split(",")
+        ]
+    for head, tail in configs:
         t = timed(
             engine_q.build_predict_q(
-                "UNetSP", variables, x[0], bf16_tail=tail
+                "UNetSP", variables, x[0], bf16_tail=tail, bf16_head=head
             ),
-            f"int8 engine tail={tail}",
+            f"int8 engine head={head} tail={tail}",
         )
         print(f"  -> {t_bf16 / t:.2f}x the bf16 engine", flush=True)
 

@@ -156,23 +156,38 @@ def main():
         np.stack([np.asarray(calib_broken, np.float32), atlas], -1),
         jnp.bfloat16,
     )
-    q_masks = {}  # (head, tail) -> (sk, fl)
+    q_masks = {}  # (head, tail, adaquant) -> (sk, fl)
+    configs = [
+        (0, 0, 0), (0, 1, 0), (0, 2, 0),
+        (0.5, 0, 0), (1, 0, 0), (1.5, 0, 0), (2, 0, 0),
+        (1, 0.5, 0), (1, 1, 0), (1.5, 0.5, 0),
+        (0, 0, 1), (0.5, 0, 1), (1, 0, 1),
+    ]
+    if "--configs" in sys.argv:
+        configs = [
+            tuple(float(v) for v in triple.split(":"))
+            for triple in
+            sys.argv[sys.argv.index("--configs") + 1].split(",")
+        ]
     try:
-        for head, tail in (
-            (0, 0), (0, 1), (0, 2),
-            (0.5, 0), (1, 0), (1.5, 0), (2, 0),
-            (1, 0.5), (1, 1), (1.5, 0.5),
-        ):
-            predict_q = engine_q.build_predict_q(
-                "UNetSP", variables, calib, bf16_tail=tail, bf16_head=head
-            )
+        for head, tail, aq in configs:
+            if aq:
+                predict_q = engine_q.build_predict_q_opt(
+                    "UNetSP", variables, calib,
+                    bf16_tail=tail, bf16_head=head,
+                )
+            else:
+                predict_q = engine_q.build_predict_q(
+                    "UNetSP", variables, calib,
+                    bf16_tail=tail, bf16_head=head,
+                )
             outs_q = predict_q(jnp.asarray(x_all, jnp.bfloat16))
-            q_masks[(head, tail)] = (
+            q_masks[(head, tail, aq)] = (
                 np.argmax(np.asarray(outs_q[0], np.float32), -1),
                 np.argmax(np.asarray(outs_q[1], np.float32), -1),
             )
-            print(f"  int8 engine (head={head}, tail={tail}) done",
-                  flush=True)
+            print(f"  int8 engine (head={head}, tail={tail}, "
+                  f"adaquant={bool(aq)}) done", flush=True)
     except Exception as e:
         print(f"int8 engine skipped: {type(e).__name__}: {e}", flush=True)
     # and a true-f32 forward (f32-built model, same params) for a
@@ -230,11 +245,13 @@ def main():
         "dice_fl_xla_f32": round(dice(ours32_fl, ref_fl), 6),
         **{
             k: v
-            for (head, tail), (m_sk, m_fl) in sorted(q_masks.items())
+            for (head, tail, aq), (m_sk, m_fl) in sorted(q_masks.items())
             for k, v in {
-                f"dice_sk_engine_int8_h{head}_t{tail}".replace(".5", "h"):
+                (f"dice_sk_engine_int8_h{head}_t{tail}"
+                 + ("_aq" if aq else "")).replace(".5", "h"):
                     round(dice(m_sk, ref_sk), 6),
-                f"dice_fl_engine_int8_h{head}_t{tail}".replace(".5", "h"):
+                (f"dice_fl_engine_int8_h{head}_t{tail}"
+                 + ("_aq" if aq else "")).replace(".5", "h"):
                     round(dice(m_fl, ref_fl), 6),
             }.items()
         },
