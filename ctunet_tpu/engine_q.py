@@ -161,7 +161,8 @@ def _quant_conv(unit, s_in: np.ndarray, s_out: np.ndarray, pack: int,
 
 
 def _quant_upconv(up_raw, unit0, ca: Optional[int], s_a: np.ndarray,
-                  s_b: Optional[np.ndarray], s_out: np.ndarray, pa: int):
+                  s_b: Optional[np.ndarray], s_out: np.ndarray, pa: int,
+                  override: Optional[Dict[str, np.ndarray]] = None):
     """int8 composite upsample+conv matrices (mirrors
     ``engine._get_upconv_mats`` with quantization).
 
@@ -192,6 +193,16 @@ def _quant_upconv(up_raw, unit0, ca: Optional[int], s_a: np.ndarray,
     amax = np.abs(r_s).max(axis=(0, 1, 2, 3))
     k = np.where(amax > 0, 127.0 / np.maximum(amax, _EPS), 1.0)
     r_q = np.clip(np.round(r_s * k[None, None, None, None, :]), -127, 127)
+    b0a = b0a.copy()
+    if override is not None:
+        # AdaQuant composite override (quant_opt): optimized integers +
+        # bias delta for the REAL output channels; the ones-regen column
+        # keeps its engine-computed values. The parity zero-point bias
+        # below recomputes from the overridden integers (exact algebra).
+        co = override["q"].shape[-1]
+        r_q[..., :co] = override["q"]
+        k[:co] = override["k"]
+        b0a[:co] = b0a[:co] + override["db"]
     ma, mb = uc.build_upconv_matrices(r_q, pa, ci_split)
     scale_ref = (1.0 / (k * s_out)).astype(np.float32)
     # Zero-point correction per OUTPUT PARITY: input lanes hold
@@ -271,10 +282,9 @@ def build_predict_q(
 
     ``round_opt``: per-unit AdaQuant weight overrides from
     :func:`ctunet_tpu.quant_opt.optimize_rounding` — calibration-
-    optimized integer weights replacing round-to-nearest for the plain
-    conv units (tags ``d{i}.{j}``/``u{idx}.1``). The upconv composites
-    keep RTN rounding (their composite response has no standard-layout
-    optimization target).
+    optimized integer weights replacing round-to-nearest, for the plain
+    conv units (tags ``d{i}.{j}``/``u{idx}.1``) and the fused
+    upsample+conv composite responses (``u{idx}.0``).
 
     ``export_scales``: pass a dict to have the build fill it with the
     calibrated per-channel activation scales (``{"entry": s, tag:
@@ -445,7 +455,8 @@ def build_predict_q(
             export_scales[f"u{idx}.1"] = (s_up, s_u1)
         if idx < switch:
             qu = _quant_upconv(
-                up_raw[idx], u_units[idx][0], ca, s_a, s_b, s_up, pa
+                up_raw[idx], u_units[idx][0], ca, s_a, s_b, s_up, pa,
+                ropt.get(f"u{idx}.0"),
             )
             if half_tail and idx == switch - 1:
                 q1 = None  # half tail: unit1 served bf16

@@ -33,11 +33,14 @@ integer correction is recomputed from the overridden integers, so
 all-zero regions still produce exactly zero (the property whose loss
 collapsed parity in the float-correction experiment, BASELINE.md).
 
-Only plain conv units are optimized (encoder ``d{i}.{j}`` and decoder
-second units ``u{idx}.1``). The decoder's fused upsample+conv composites
-keep RTN: their quantization applies to the COMPOSITE response in chain
-space, which has no standard-layout optimization target; the sensitivity
-sweep ranks all of them mild (flap >= 0.995 each).
+All quantized producers are optimized: the plain conv units (encoder
+``d{i}.{j}``, decoder second units ``u{idx}.1``) AND the decoder's fused
+upsample+conv composites (``u{idx}.0``) — the engine quantizes the
+latter as a 4-tap composite response in chain space, emulated here
+exactly as a fractionally strided convolution
+(:func:`_composite_apply`), so their integer taps get the same
+treatment. This also closes the former sim<->engine fidelity gap
+(composite rounding was the one engine rounding the QAT sim skipped).
 
 No reference counterpart (the reference serves f32 on CPU,
 ``ctunet/pytorch/ProblemHandler.py:311-354`` masks are the behavior this
@@ -97,6 +100,54 @@ def _grid(w_eff: np.ndarray, s_in: np.ndarray):
 def _ste_round(c: jax.Array) -> jax.Array:
     r = jnp.clip(jnp.round(c), -127.0, 127.0)
     return c + jax.lax.stop_gradient(r - c)
+
+
+def _adam_best(loss_fn, p0, steps: int, lr: float):
+    """Adam with keep-best-iterate tracking (Adam oscillates near the
+    optimum at these tiny losses; the init IS the RTN baseline, so the
+    result is never worse than RTN on the calibration objective).
+    step() returns the loss AT ITS INPUT iterate, so ``l`` pairs with
+    the pre-update params. Returns (best_p, first_loss, best_loss)."""
+    import optax
+
+    opt = optax.adam(lr)
+    st = opt.init(p0)
+
+    @jax.jit
+    def step(p, st):
+        l, g = jax.value_and_grad(loss_fn)(p)
+        up, st = opt.update(g, st)
+        return optax.apply_updates(p, up), st, l
+
+    p = p0
+    best_l = l0 = None
+    best_p = p0
+    for _ in range(steps):
+        new_p, st, l = step(p, st)
+        lf = float(l)
+        if l0 is None:
+            l0 = lf
+        if best_l is None or lf < best_l:
+            best_l, best_p = lf, p
+        p = new_p
+    lf = float(loss_fn(p))
+    if lf < best_l:
+        best_l, best_p = lf, p
+    return best_p, l0, best_l
+
+
+def _composite_apply(x_aug: jax.Array, resp: jax.Array) -> jax.Array:
+    """Apply a fused upsample+conv composite response R[rz,ry,rx,ci,co]
+    (r in [-1,2] at index r+1; ``out[v] = sum_r R[r] . in[(v-r)/2]``,
+    missing taps zero — upconv.composite_response) as a fractionally
+    strided convolution: dilate the input 2x, pad (2,2), correlate with
+    the spatially reversed response."""
+    k = resp[::-1, ::-1, ::-1]
+    return jax.lax.conv_general_dilated(
+        x_aug, k, window_strides=(1, 1, 1),
+        padding=[(2, 2)] * 3, lhs_dilation=(2, 2, 2),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
 
 
 def _conv(x: jax.Array, w: jax.Array) -> jax.Array:
@@ -179,34 +230,8 @@ def optimize_rounding(
         def loss_fn(p):
             return jnp.mean(jnp.square(fwd(p["c"], p["db"]) - y_f)) / y_norm
 
-        opt = optax.adam(lr)
-        p = {"c": c0, "db": jnp.zeros(w_eff.shape[-1], jnp.float32)}
-        st = opt.init(p)
-
-        @jax.jit
-        def step(p, st):
-            l, g = jax.value_and_grad(loss_fn)(p)
-            up, st = opt.update(g, st)
-            return optax.apply_updates(p, up), st, l
-
-        # keep the BEST-loss iterate (Adam oscillates near the optimum
-        # at these tiny losses; init IS the RTN baseline, so the result
-        # is never worse than RTN on the calibration objective). step()
-        # returns the loss AT ITS INPUT iterate, so pair l with the
-        # pre-update params.
-        best_l = l0 = None
-        best_p = p
-        for _ in range(steps):
-            new_p, st, l = step(p, st)
-            lf = float(l)
-            if l0 is None:
-                l0 = lf
-            if best_l is None or lf < best_l:
-                best_l, best_p = lf, p
-            p = new_p
-        lf = float(loss_fn(p))
-        if lf < best_l:
-            best_l, best_p = lf, p
+        p0 = {"c": c0, "db": jnp.zeros(w_eff.shape[-1], jnp.float32)}
+        best_p, l0, best_l = _adam_best(loss_fn, p0, steps, lr)
         q = np.clip(np.round(np.asarray(best_p["c"])), -127, 127)
         db = np.asarray(best_p["db"], np.float32) * s_out
         overrides[tag] = {
@@ -243,6 +268,8 @@ def optimize_rounding(
         x_f = _maxpool(x_f)
         x_hat = _maxpool(x_hat)  # int8 max pool is exact: same scales
 
+    from .ops.pallas import upconv as uc
+
     for idx in range(n):
         i = n - 1 - idx
         up = params[f"u{idx}"]["upconv"]
@@ -251,8 +278,6 @@ def optimize_rounding(
         else:
             cat_f = jnp.concatenate([x_f, skips_f[i + 1]], -1)
             cat_hat = jnp.concatenate([x_hat, skips_hat[i + 1]], -1)
-        # fused upsample+conv composite: RTN in the engine (see module
-        # docstring) — float weights here, activations quantized at s_up
         ku = jnp.asarray(up["kernel"], jnp.float32)
         bu = jnp.asarray(up["bias"], jnp.float32)
         w0_eff, shift0 = _unit_wb(
@@ -265,7 +290,90 @@ def optimize_rounding(
             return jnp.maximum(_conv(h, jnp.asarray(w0_eff)) + shift0, 0.0)
 
         x_f = upconv0(cat_f)
-        x_hat = _fq_in(upconv0(cat_hat), s_up)
+
+        # fused upsample+conv composite: the engine quantizes the
+        # COMPOSITE response (upconv.composite_response) per output
+        # channel — optimize those integers with the same scheme. The
+        # augmented input interleaves the operands' ones lanes: (a,
+        # ones->convT-bias column, b, ones->zero column), scaled by the
+        # engine's s_a/s_b activation scales (export tags).
+        tag0 = f"u{idx}.0"
+        ku_np = np.asarray(up["kernel"], np.float32)
+        bu_np = np.asarray(up["bias"], np.float32)
+        bcol = np.broadcast_to(
+            bu_np[None, None, None, :, None], ku_np.shape[:4] + (1,)
+        ).copy()
+        if idx == 0:
+            kT_aug = np.concatenate([ku_np, bcol], -1)
+            s_a = np.asarray(scales[f"d{n-1}.1"][1], np.float32)
+            s_in_full = s_a
+            aug = [x_hat, jnp.ones_like(x_hat[..., :1])]
+        else:
+            ca = x_hat.shape[-1]
+            zcol = np.zeros_like(bcol)
+            kT_aug = np.concatenate(
+                [ku_np[..., :ca], bcol, ku_np[..., ca:], zcol], -1
+            )
+            s_a = np.asarray(scales[f"u{idx-1}.1"][1], np.float32)
+            s_b = np.asarray(scales[f"d{i+1}.1"][1], np.float32)
+            s_in_full = np.concatenate([s_a, s_b])
+            ones = jnp.ones_like(x_hat[..., :1])
+            aug = [x_hat, ones, skips_hat[i + 1], ones]
+        x_aug = jnp.concatenate(aug, -1)
+        resp = uc.composite_response(kT_aug, w0_eff)  # real out cols
+        r_s = resp * s_in_full[None, None, None, :, None]
+        amax = np.abs(r_s).max(axis=(0, 1, 2, 3))
+        k = np.where(
+            amax > 0, 127.0 / np.maximum(amax, _EPS), 1.0
+        ).astype(np.float32)
+        y_norm = float(jnp.mean(jnp.square(x_f)))
+        if (tags is not None and tag0 not in tags) or y_norm <= 0.0:
+            q = np.clip(np.round(r_s * k), -127, 127)
+            w_dq = q / k / s_in_full[:, None]
+            y_hat = jnp.maximum(
+                _composite_apply(x_aug, jnp.asarray(w_dq, jnp.float32))
+                + shift0, 0.0,
+            )
+            if y_norm > 0.0:
+                overrides[tag0] = {
+                    "q": q.astype(np.float32), "k": k,
+                    "db": np.zeros(resp.shape[-1], np.float32),
+                }
+        else:
+            kv = jnp.asarray(k)
+            sv = jnp.asarray(s_in_full)[:, None]
+            s_up_v = jnp.asarray(s_up)
+            y_f_t = x_f
+
+            def loss_fn(p):
+                w_dq = _ste_round(p["c"]) / kv / sv
+                y = jnp.maximum(
+                    _composite_apply(x_aug, w_dq)
+                    + shift0 + p["db"] * s_up_v, 0.0,
+                )
+                return jnp.mean(jnp.square(y - y_f_t)) / y_norm
+
+            p0 = {"c": jnp.asarray(r_s * k, jnp.float32),
+                  "db": jnp.zeros(resp.shape[-1], jnp.float32)}
+            best_p, l0, best_l = _adam_best(loss_fn, p0, steps, lr)
+            q = np.clip(np.round(np.asarray(best_p["c"])), -127, 127)
+            db = np.asarray(best_p["db"], np.float32) * s_up
+            overrides[tag0] = {
+                "q": q.astype(np.float32), "k": k, "db": db,
+            }
+            if verbose:
+                flips = int(
+                    (q != np.clip(np.round(r_s * k), -127, 127)).sum()
+                )
+                print(f"  {tag0}: loss {l0:.3e} -> {best_l:.3e}, "
+                      f"{flips}/{q.size} ints changed, |db|max "
+                      f"{np.abs(db).max():.2e}", flush=True)
+            w_dq = jnp.asarray(q) / kv / sv
+            y_hat = jnp.maximum(
+                _composite_apply(x_aug, w_dq) + shift0 + jnp.asarray(db),
+                0.0,
+            )
+        x_hat = _fq_in(y_hat, s_up)
         tag = f"u{idx}.1"
         x_f, x_hat = unit_opt(
             tag, x_f, x_hat,
