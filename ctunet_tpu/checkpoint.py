@@ -82,7 +82,30 @@ def restore_checkpoint(path: str, template_state=None) -> Dict[str, Any]:
                     f"{set(template) - stored_keys}; restoring raw tree "
                     "(no template)."
                 )
-        return ckptr.restore(path)
+        try:
+            return ckptr.restore(path)
+        except ValueError as e:
+            if "not found in jax.local_devices" not in str(e):
+                raise
+            # Cross-device restore: the stored sharding metadata names
+            # devices of the SAVING platform (e.g. a TPU-trained
+            # checkpoint opened on CPU). Rebuild an abstract template
+            # from the checkpoint's own metadata — shapes/dtypes without
+            # shardings — so orbax restores onto the default device.
+            return ckptr.restore(path, _abstract_template(ckptr, path))
+
+
+def _abstract_template(ckptr, path: str):
+    """Shape/dtype-only pytree from an orbax checkpoint's metadata
+    (drops stored shardings for cross-platform restore)."""
+    meta = ckptr.metadata(path)
+    meta = getattr(meta, "item_metadata", meta)  # orbax API drift
+    sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+    return jax.tree.map(
+        lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding),
+        meta,
+        is_leaf=lambda m: hasattr(m, "shape") and hasattr(m, "dtype"),
+    )
 
 
 def _stored_top_keys(path: str) -> Optional[set]:

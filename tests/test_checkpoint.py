@@ -46,6 +46,27 @@ def test_overwrite(tmp_path, state):
     assert int(ckpt.restore_checkpoint(path)["step"]) == 9
 
 
+def test_cross_device_template_restore(tmp_path, state):
+    """A checkpoint whose stored shardings can't resolve on this platform
+    restores via the shape/dtype-only template (cross-device resume, e.g.
+    a TPU-trained checkpoint opened on a CPU host)."""
+    import orbax.checkpoint as ocp
+
+    path = str(tmp_path / "m.ckpt")
+    ckpt.save_checkpoint(path, state)
+    with ocp.StandardCheckpointer() as ckptr:
+        tpl = ckpt._abstract_template(ckptr, path)
+        leaves = jax.tree.leaves(
+            tpl, is_leaf=lambda m: isinstance(m, jax.ShapeDtypeStruct)
+        )
+        assert all(isinstance(m, jax.ShapeDtypeStruct) for m in leaves)
+        restored = ckptr.restore(path, tpl)
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["w"]), np.asarray(state.params["w"])
+    )
+    assert int(restored["step"]) == 7
+
+
 def test_load_any_orbax(tmp_path, state):
     path = str(tmp_path / "m.ckpt")
     ckpt.save_checkpoint(path, state)
