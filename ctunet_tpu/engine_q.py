@@ -243,6 +243,7 @@ def build_predict_q(
     bf16_head: float = 0,
     round_opt: Optional[Dict[str, Dict[str, np.ndarray]]] = None,
     export_scales: Optional[Dict[str, Any]] = None,
+    import_scales: Optional[Dict[str, Any]] = None,
 ):
     """Build a jitted int8 ``predict(images)`` for (B, D, H, W, C) inputs.
 
@@ -290,6 +291,13 @@ def build_predict_q(
     calibrated per-channel activation scales (``{"entry": s, tag:
     (s_in, s_out), ...}``, ones lanes included) — the optimizer consumes
     these so its folding matches this build bit-for-bit.
+
+    ``import_scales``: the inverse — a dict in the exact ``export_scales``
+    format supplying every tag's activation scales, skipping the
+    calibration forward entirely. Use it to rebuild with externally
+    refined scales (``quant_opt.optimize_rounding(learn_scales=True)``)
+    or to reuse a previous build's calibration (per-channel scales are
+    content-, not shape-, dependent).
     """
     cfg = engine.ENGINE_CONFIGS[model_class]
     if cfg["family"] != "generic":
@@ -380,10 +388,12 @@ def build_predict_q(
         dh_dec *= 2
 
     # ---- calibration ----------------------------------------------------
-    records = calibrate(
-        model_class, variables, calib_volume, interpret,
-        quantile=calib_quantile,
-    )
+    records = None
+    if import_scales is None:
+        records = calibrate(
+            model_class, variables, calib_volume, interpret,
+            quantile=calib_quantile,
+        )
     cursor = {"i": 0}
 
     def next_rec() -> np.ndarray:
@@ -391,11 +401,25 @@ def build_predict_q(
         cursor["i"] += 1
         return rec
 
+    def tag_scales(tag: str, pack: int, c: int) -> np.ndarray:
+        """Per-channel output scales (incl. ones lane) for one produced
+        tensor: from the calibration record stream, or the caller's
+        ``import_scales`` (export format; tuples carry (s_in, s_out))."""
+        if records is None:
+            v = import_scales[tag]
+            s = np.array(v[1] if isinstance(v, tuple) else v, np.float32)
+            assert s.shape == (c,), (tag, s.shape, c)
+            return s
+        return _chan_scales(next_rec(), pack, c)
+
     # entry scales: data channels calibrated from the input itself
-    rec0 = next_rec()
-    s_entry = np.concatenate(
-        [_chan_scales(rec0, p0, cin0 + 1)[:cin0], [_Q1]]
-    ).astype(np.float32)
+    if records is None:
+        s_entry = np.array(import_scales["entry"], np.float32)
+        assert s_entry.shape == (cin0 + 1,)
+    else:
+        s_entry = np.concatenate(
+            [_chan_scales(next_rec(), p0, cin0 + 1)[:cin0], [_Q1]]
+        ).astype(np.float32)
 
     # encoder: quantize convs, track per-channel scales through pools.
     # Units t < head_units run bf16 (no quantized weights needed); their
@@ -410,13 +434,13 @@ def build_predict_q(
     for i in range(n_blocks):
         p = plan_enc[i][0]
         c0 = d_units[i][0].cout + 1
-        s_u0 = _chan_scales(next_rec(), p, c0)
+        s_u0 = tag_scales(f"d{i}.0", p, c0)
         s_u0[-1] = _Q1
         q0 = (None if 2 * i < head_units
               else _quant_conv(d_units[i][0], s_cur, s_u0, p,
                                ropt.get(f"d{i}.0")))
         c1 = d_units[i][1].cout + 1
-        s_u1 = _chan_scales(next_rec(), p, c1)
+        s_u1 = tag_scales(f"d{i}.1", p, c1)
         s_u1[-1] = _Q1
         q1 = (None if 2 * i + 1 < head_units
               else _quant_conv(d_units[i][1], s_u0, s_u1, p,
@@ -427,7 +451,8 @@ def build_predict_q(
         enc_q.append((q0, q1))
         enc_s.append((s_u0, s_u1))
         skips_s.append(s_u1)
-        next_rec()  # pool output: scales unchanged
+        if records is not None:
+            next_rec()  # pool output: scales unchanged
         s_cur = s_u1
 
     # decoder: fused upsample+conv then second unit; per-channel scales
@@ -444,11 +469,11 @@ def build_predict_q(
         ca = None if idx == 0 else u_units[idx - 1][1].cout
         s_b = None if idx == 0 else skips_s[i + 1]
         c_up = u_units[idx][0].cout + 1
-        s_up = _chan_scales(next_rec(), 2 * pa, c_up)
+        s_up = tag_scales(f"u{idx}.0", 2 * pa, c_up)
         s_up[-1] = _Q1
         s_up_list.append(s_up)
         c1 = u_units[idx][1].cout + 1
-        s_u1 = _chan_scales(next_rec(), 2 * pa, c1)
+        s_u1 = tag_scales(f"u{idx}.1", 2 * pa, c1)
         s_u1[-1] = _Q1
         if export_scales is not None:
             export_scales[f"u{idx}.0"] = s_up
@@ -467,7 +492,8 @@ def build_predict_q(
         else:
             dec_q.append(None)  # served bf16 (mixed-precision tail)
         s_a = s_u1
-    assert cursor["i"] == len(records), (cursor["i"], len(records))
+    if records is not None:
+        assert cursor["i"] == len(records), (cursor["i"], len(records))
 
     # ---- bf16 tail assets: the bf16 engine's fused upconv matrices for
     # the tail blocks (identical math to engine._get_upconv_mats)
@@ -758,6 +784,7 @@ def build_predict_q_opt(
     adaquant_lr: float = 0.03,
     calib_batch: Optional[np.ndarray] = None,
     verbose: bool = False,
+    learn_scales: bool = False,
     **kw,
 ):
     """:func:`build_predict_q` with AdaQuant rounding optimization.
@@ -767,7 +794,8 @@ def build_predict_q_opt(
     volume(s) (~a minute on a TPU chip at 128-res; proportional at other
     sizes), then builds the served engine with the optimized integer
     weights. ``calib_batch`` (N, D, H, W, C) defaults to the single
-    calibration volume.
+    calibration volume. ``learn_scales`` additionally refines the
+    activation scales (LSQ-style) and rebuilds with ``import_scales``.
     """
     from . import quant_opt
 
@@ -781,10 +809,13 @@ def build_predict_q_opt(
         if calib_batch is not None
         else np.asarray(calib_volume, np.float32)[None]
     )
+    refined: Dict[str, Any] = {}
     ropt = quant_opt.optimize_rounding(
         model_class, variables, cb, scales,
         steps=adaquant_steps, lr=adaquant_lr, verbose=verbose,
+        learn_scales=learn_scales, out_scales=refined,
     )
     return build_predict_q(
-        model_class, variables, calib_volume, round_opt=ropt, **kw
+        model_class, variables, calib_volume, round_opt=ropt,
+        import_scales=refined, **kw
     )

@@ -42,6 +42,15 @@ exactly as a fractionally strided convolution
 treatment. This also closes the former sim<->engine fidelity gap
 (composite rounding was the one engine rounding the QAT sim skipped).
 
+``learn_scales`` extends the same sequential loop to the ACTIVATION
+scales (LSQ lineage): each unit's per-channel output scale gains a
+learnable log-multiplier, with the output quantization inside the loss
+(STE through the round, real gradients through the clip so saturated
+voxels pull the step size). The refined scales come back through
+``out_scales`` in the engine's export format and MUST be fed to
+``build_predict_q(import_scales=...)`` so the engine's requant
+constants match the simulation.
+
 No reference counterpart (the reference serves f32 on CPU,
 ``ctunet/pytorch/ProblemHandler.py:311-354`` masks are the behavior this
 protects); this closes the int8 serving mode's parity gap.
@@ -100,6 +109,17 @@ def _grid(w_eff: np.ndarray, s_in: np.ndarray):
 def _ste_round(c: jax.Array) -> jax.Array:
     r = jnp.clip(jnp.round(c), -127.0, 127.0)
     return c + jax.lax.stop_gradient(r - c)
+
+
+def _fq_learn(x: jax.Array, s: jax.Array) -> jax.Array:
+    """:func:`_fq_in` with a TRACED scale (LSQ-style gradients): STE
+    through the round, real gradients through the clip — saturated
+    voxels pull ``d/ds = q`` (the step-size gradient), interior voxels
+    see only rounding noise."""
+    z = x / s
+    zc = jnp.clip(z, 0.0, _QMAX)
+    q = zc + jax.lax.stop_gradient(jnp.round(zc) - zc)
+    return q * s
 
 
 def _adam_best(loss_fn, p0, steps: int, lr: float):
@@ -163,6 +183,8 @@ def optimize_rounding(
     lr: float = 0.03,
     tags: Optional[set] = None,
     verbose: bool = False,
+    learn_scales: bool = False,
+    out_scales: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, Dict[str, np.ndarray]]:
     """Sequential AdaQuant over the generic-UNet conv units.
 
@@ -172,6 +194,15 @@ def optimize_rounding(
         "d{i}.{j}" | "u{idx}.1": (s_in, s_out), "u{idx}.0": s_up}``,
         ones lanes included (stripped here).
     :param tags: optional subset of unit tags to optimize (default all).
+    :param learn_scales: ALSO optimize each unit's output ACTIVATION
+        scales (LSQ-style: per-channel log-multiplier on the calibrated
+        scale, quantization inside the loss with STE/clip gradients).
+        Requires rebuilding the engine with ``import_scales=out_scales``
+        so its requant constants match.
+    :param out_scales: dict filled with the (possibly refined) scales in
+        ``export_scales`` format — pass to ``build_predict_q(
+        import_scales=...)``. Identical to ``scales`` unless
+        ``learn_scales``.
     :returns: ``{tag: {"q", "k", "db"}}`` for ``round_opt=``.
     """
     if not supports(model_class):
@@ -185,12 +216,18 @@ def optimize_rounding(
     x = jnp.asarray(calib_batch, jnp.float32)
 
     overrides: Dict[str, Dict[str, np.ndarray]] = {}
+    # working per-tensor scale store (ones lanes included); refined in
+    # place when learn_scales — all downstream reads go through it
+    ts: Dict[str, np.ndarray] = {
+        t_: np.array(v[1] if isinstance(v, tuple) else v, np.float32)
+        for t_, v in scales.items()
+    }
 
-    def unit_opt(tag, x_f, x_hat, pu, su):
+    def unit_opt(tag, x_f, x_hat, pu, su, s_in_tag):
         """Optimize one unit; returns (y_float, y_hat_prequant)."""
         w_eff, shift = _unit_wb(pu, su)
         y_f = jnp.maximum(_conv(x_f, jnp.asarray(w_eff)) + shift, 0.0)
-        s_in = np.asarray(scales[tag][0], np.float32)[:-1]  # strip ones
+        s_in = ts[s_in_tag][:-1]  # strip ones
         w_s, k = _grid(w_eff, s_in)
         if tags is not None and tag not in tags:
             # RTN for un-optimized units (still sequentially exact)
@@ -204,7 +241,7 @@ def optimize_rounding(
         kv = jnp.asarray(k)
         sv = jnp.asarray(s_in)[:, None]
         shift_v = jnp.asarray(shift)
-        s_out = np.asarray(scales[tag][1], np.float32)[:-1]
+        s_out = ts[tag][:-1]
         s_out_v = jnp.asarray(s_out)  # db parametrized in requant LEVELS
 
         y_norm = float(jnp.mean(jnp.square(y_f)))
@@ -221,19 +258,30 @@ def optimize_rounding(
             )
             return y_f, y_hat
 
-        def fwd(c, db):
-            w_dq = _ste_round(c) / kv / sv
-            return jnp.maximum(
-                _conv(x_hat, w_dq) + shift_v + db * s_out_v, 0.0
+        def fwd(p):
+            w_dq = _ste_round(p["c"]) / kv / sv
+            y = jnp.maximum(
+                _conv(x_hat, w_dq) + shift_v + p["db"] * s_out_v, 0.0
             )
+            if learn_scales:
+                # quantization inside the loss so the scale multiplier
+                # sees the rounding/saturation it controls
+                y = _fq_learn(y, s_out_v * jnp.exp(p["t"]))
+            return y
 
         def loss_fn(p):
-            return jnp.mean(jnp.square(fwd(p["c"], p["db"]) - y_f)) / y_norm
+            return jnp.mean(jnp.square(fwd(p) - y_f)) / y_norm
 
         p0 = {"c": c0, "db": jnp.zeros(w_eff.shape[-1], jnp.float32)}
+        if learn_scales:
+            p0["t"] = jnp.zeros(w_eff.shape[-1], jnp.float32)
         best_p, l0, best_l = _adam_best(loss_fn, p0, steps, lr)
+        if learn_scales:
+            ts[tag][:-1] = s_out * np.exp(np.asarray(best_p["t"]))
+            s_out = ts[tag][:-1]
         q = np.clip(np.round(np.asarray(best_p["c"])), -127, 127)
-        db = np.asarray(best_p["db"], np.float32) * s_out
+        db = np.asarray(best_p["db"], np.float32) * np.asarray(
+            scales[tag][1], np.float32)[:-1]
         overrides[tag] = {
             "q": q.astype(np.float32), "k": k, "db": db,
         }
@@ -249,7 +297,7 @@ def optimize_rounding(
         return y_f, y_hat
 
     # ---- entry ----------------------------------------------------------
-    s_entry = np.asarray(scales["entry"], np.float32)[:-1]
+    s_entry = ts["entry"][:-1]
     x_f = x
     x_hat = _fq_in(x, s_entry)
 
@@ -257,12 +305,14 @@ def optimize_rounding(
     for i in range(n):
         for j in range(2):
             tag = f"d{i}.{j}"
+            prev = ("entry" if (i, j) == (0, 0)
+                    else f"d{i-1}.1" if j == 0 else f"d{i}.0")
             x_f, x_hat = unit_opt(
                 tag, x_f, x_hat,
                 params[f"d{i}"][f"unit{j}"], stats[f"d{i}"][f"unit{j}"],
+                prev,
             )
-            s_out = np.asarray(scales[tag][1], np.float32)[:-1]
-            x_hat = _fq_in(x_hat, s_out)
+            x_hat = _fq_in(x_hat, ts[tag][:-1])
         skips_f.append(x_f)
         skips_hat.append(x_hat)
         x_f = _maxpool(x_f)
@@ -283,7 +333,7 @@ def optimize_rounding(
         w0_eff, shift0 = _unit_wb(
             params[f"u{idx}"]["unit0"], stats[f"u{idx}"]["unit0"]
         )
-        s_up = np.asarray(scales[f"u{idx}.0"], np.float32)[:-1]
+        s_up = ts[f"u{idx}.0"][:-1]
 
         def upconv0(xin):
             h = _convt2x2(xin, ku, bu)
@@ -305,7 +355,7 @@ def optimize_rounding(
         ).copy()
         if idx == 0:
             kT_aug = np.concatenate([ku_np, bcol], -1)
-            s_a = np.asarray(scales[f"d{n-1}.1"][1], np.float32)
+            s_a = ts[f"d{n-1}.1"]
             s_in_full = s_a
             aug = [x_hat, jnp.ones_like(x_hat[..., :1])]
         else:
@@ -314,8 +364,8 @@ def optimize_rounding(
             kT_aug = np.concatenate(
                 [ku_np[..., :ca], bcol, ku_np[..., ca:], zcol], -1
             )
-            s_a = np.asarray(scales[f"u{idx-1}.1"][1], np.float32)
-            s_b = np.asarray(scales[f"d{i+1}.1"][1], np.float32)
+            s_a = ts[f"u{idx-1}.1"]
+            s_b = ts[f"d{i+1}.1"]
             s_in_full = np.concatenate([s_a, s_b])
             ones = jnp.ones_like(x_hat[..., :1])
             aug = [x_hat, ones, skips_hat[i + 1], ones]
@@ -351,11 +401,17 @@ def optimize_rounding(
                     _composite_apply(x_aug, w_dq)
                     + shift0 + p["db"] * s_up_v, 0.0,
                 )
+                if learn_scales:
+                    y = _fq_learn(y, s_up_v * jnp.exp(p["t"]))
                 return jnp.mean(jnp.square(y - y_f_t)) / y_norm
 
             p0 = {"c": jnp.asarray(r_s * k, jnp.float32),
                   "db": jnp.zeros(resp.shape[-1], jnp.float32)}
+            if learn_scales:
+                p0["t"] = jnp.zeros(resp.shape[-1], jnp.float32)
             best_p, l0, best_l = _adam_best(loss_fn, p0, steps, lr)
+            if learn_scales:
+                ts[tag0][:-1] = s_up * np.exp(np.asarray(best_p["t"]))
             q = np.clip(np.round(np.asarray(best_p["c"])), -127, 127)
             db = np.asarray(best_p["db"], np.float32) * s_up
             overrides[tag0] = {
@@ -373,15 +429,27 @@ def optimize_rounding(
                 _composite_apply(x_aug, w_dq) + shift0 + jnp.asarray(db),
                 0.0,
             )
-        x_hat = _fq_in(y_hat, s_up)
+        x_hat = _fq_in(y_hat, ts[tag0][:-1])
         tag = f"u{idx}.1"
         x_f, x_hat = unit_opt(
             tag, x_f, x_hat,
             params[f"u{idx}"]["unit1"], stats[f"u{idx}"]["unit1"],
+            tag0,
         )
-        s_out = np.asarray(scales[tag][1], np.float32)[:-1]
-        x_hat = _fq_in(x_hat, s_out)
+        x_hat = _fq_in(x_hat, ts[tag][:-1])
 
+    if out_scales is not None:
+        # assemble the (refined) scales in export format for
+        # ``build_predict_q(import_scales=...)``
+        out_scales["entry"] = ts["entry"]
+        s_cur = ts["entry"]
+        for i in range(n):
+            out_scales[f"d{i}.0"] = (s_cur, ts[f"d{i}.0"])
+            out_scales[f"d{i}.1"] = (ts[f"d{i}.0"], ts[f"d{i}.1"])
+            s_cur = ts[f"d{i}.1"]
+        for idx in range(n):
+            out_scales[f"u{idx}.0"] = ts[f"u{idx}.0"]
+            out_scales[f"u{idx}.1"] = (ts[f"u{idx}.0"], ts[f"u{idx}.1"])
     return overrides
 
 

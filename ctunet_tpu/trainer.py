@@ -733,9 +733,15 @@ class Model:
                     builder, extra = engine_q.build_predict_q, {}
                     if self.params.get("int8_adaquant"):
                         builder = engine_q.build_predict_q_opt
-                        extra = dict(adaquant_steps=int(
-                            self.params.get("int8_adaquant_steps") or 250
-                        ))
+                        extra = dict(
+                            adaquant_steps=int(
+                                self.params.get("int8_adaquant_steps")
+                                or 250
+                            ),
+                            learn_scales=bool(
+                                self.params.get("int8_learn_scales")
+                            ),
+                        )
                     try:
                         qfn = builder(
                             self.params["model_class"], variables, x[0],
@@ -821,9 +827,15 @@ class Model:
                     builder, extra = engine_q.build_predict_q, {}
                     if self.params.get("int8_adaquant"):
                         builder = engine_q.build_predict_q_opt
-                        extra = dict(adaquant_steps=int(
-                            self.params.get("int8_adaquant_steps") or 250
-                        ))
+                        extra = dict(
+                            adaquant_steps=int(
+                                self.params.get("int8_adaquant_steps")
+                                or 250
+                            ),
+                            learn_scales=bool(
+                                self.params.get("int8_learn_scales")
+                            ),
+                        )
                     try:
                         q = builder(
                             self.params["model_class"], variables,

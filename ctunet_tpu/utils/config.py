@@ -96,6 +96,9 @@ def default_params() -> Dict[str, Any]:
                                       # serving cost; adds ~1 min to the
                                       # first int8 build per shape
         "int8_adaquant_steps": 250,   # Adam steps per conv unit
+        "int8_learn_scales": False,   # with int8_adaquant: also refine
+                                      # activation scales (LSQ-style)
+                                      # and rebuild via import_scales
         "train_patch_size": 0,        # >0: random-crop patch training
         "prefetch_depth": 2,          # host->device pipeline depth
         "serve_profile": False,       # print per-stage serving-loop times

@@ -118,6 +118,35 @@ def test_int8_engine_close_to_bf16_engine(rng):
         assert agree > 0.99, agree
 
 
+def test_int8_engine_import_scales_identical(rng):
+    """Rebuilding with ``import_scales`` (the export dict fed back) skips
+    the calibration forward and produces a BIT-IDENTICAL engine."""
+    from ctunet_tpu import engine_q
+    from ctunet_tpu.models import build_model
+
+    shape = (16, 16, 32)
+    m = build_model("UNetSP", compute_dtype="float32", use_checkpoint=False)
+    x0 = jnp.zeros((1, *shape, 2), jnp.float32)
+    vs = jax.jit(m.init, static_argnums=(2,))(jax.random.key(0), x0, False)
+    x = jnp.asarray((rng.random((1, *shape, 2)) > 0.5).astype(np.float32))
+
+    scales: dict = {}
+    pq = engine_q.build_predict_q(
+        "UNetSP", vs, x[0], compute_dtype=jnp.float32, interpret=True,
+        export_scales=scales,
+    )
+    want = pq(x)
+    pq_imp = engine_q.build_predict_q(
+        "UNetSP", vs, x[0], compute_dtype=jnp.float32, interpret=True,
+        import_scales=scales,
+    )
+    got = pq_imp(x)
+    for g, w in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_array_equal(
+            np.asarray(g, np.float32), np.asarray(w, np.float32)
+        )
+
+
 def test_int8_engine_quantile_calibration(rng):
     """Clipped (quantile) calibration builds and stays close to the
     max-calibrated engine on well-behaved activations (outlier clipping
@@ -471,6 +500,69 @@ def test_int8_engine_adaquant(rng):
     # calibration == eval volume here, so AdaQuant cannot be worse than
     # RTN beyond upconv-composite noise (those keep RTN)
     assert e_opt <= e_rtn * 1.02, (e_rtn, e_opt)
+
+
+def test_int8_engine_learned_scales(rng):
+    """LSQ-style activation-scale refinement: optimize_rounding with
+    learn_scales returns refined scales that, imported into the engine
+    build together with the weight overrides, do not degrade (and
+    typically improve) engine-vs-float agreement."""
+    from ctunet_tpu import engine, engine_q, quant_opt
+    from ctunet_tpu.models import build_model
+
+    shape = (16, 16, 32)
+    m = build_model("UNetSP", compute_dtype="float32", use_checkpoint=False)
+    x0 = jnp.zeros((1, *shape, 2), jnp.float32)
+    vs = jax.jit(m.init, static_argnums=(2,))(jax.random.key(0), x0, False)
+    x = jnp.asarray((rng.random((1, *shape, 2)) > 0.5).astype(np.float32))
+
+    want = engine.build_predict(
+        "UNetSP", vs, compute_dtype=jnp.float32, interpret=True
+    )(x)
+    w_leaves = [np.asarray(w, np.float32) for w in jax.tree.leaves(want)]
+
+    scales: dict = {}
+    engine_q.build_predict_q(
+        "UNetSP", vs, x[0], compute_dtype=jnp.float32, interpret=True,
+        export_scales=scales, jit=False,
+    )
+
+    def err(ropt, imp):
+        got = engine_q.build_predict_q(
+            "UNetSP", vs, x[0], compute_dtype=jnp.float32, interpret=True,
+            round_opt=ropt, import_scales=imp,
+        )(x)
+        g_leaves = [np.asarray(g, np.float32) for g in jax.tree.leaves(got)]
+        for g, w in zip(g_leaves, w_leaves):
+            assert (g.argmax(-1) == w.argmax(-1)).mean() > 0.99
+        return float(np.mean([
+            np.abs(g - w).mean() for g, w in zip(g_leaves, w_leaves)
+        ]))
+
+    refined: dict = {}
+    ropt = quant_opt.optimize_rounding(
+        "UNetSP", vs, np.asarray(x, np.float32), scales,
+        steps=25, lr=0.02, learn_scales=True, out_scales=refined,
+    )
+    # refined dict is complete, export-shaped, and actually refined
+    assert set(refined) == set(scales)
+    for t in refined:
+        a, b = refined[t], scales[t]
+        if isinstance(b, tuple):
+            assert a[0].shape == b[0].shape and a[1].shape == b[1].shape
+        else:
+            assert a.shape == b.shape
+    moved = max(
+        float(np.abs(np.log(refined[t][1][:-1] / scales[t][1][:-1])).max())
+        for t in refined if isinstance(scales[t], tuple)
+    )
+    assert moved > 0.0  # some scale actually learned
+    # ones lanes preserved
+    assert refined["u0.0"][-1] == scales["u0.0"][-1]
+
+    e_rtn = err(None, None)
+    e_ls = err(ropt, refined)
+    assert e_ls <= e_rtn * 1.02, (e_rtn, e_ls)
 
 
 def _emulate_q_zp(x_q, w_int, scale, bias, s_in):

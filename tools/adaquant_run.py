@@ -5,7 +5,7 @@ the optimized rounding.
 
 Usage: python tools/adaquant_run.py --ckpt .parity_ckpt_10k
            [--steps 250] [--lr 0.03] [--calib-n 2] [--head 0] [--tail 0]
-           [--save /tmp/adaquant.npz]
+           [--save /tmp/adaquant.npz] [--learn-scales]
 
 The in-script parity here is ENGINE vs FLOAT-MODEL masks on the 5
 held-out test volumes (the cross-framework harness tools/parity_check.py
@@ -37,6 +37,7 @@ def main():
     head = arg("--head", 0.0, float)
     tail = arg("--tail", 0.0, float)
     save = arg("--save", "", str)
+    learn_scales = "--learn-scales" in sys.argv
 
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -88,10 +89,11 @@ def main():
         sa, sb = float((a > 0).sum()), float((b > 0).sum())
         return 2 * inter / (sa + sb) if (sa + sb) else 1.0
 
-    def engine_masks(ropt):
+    def engine_masks(ropt, imp=None):
         fn = engine_q.build_predict_q(
             "UNetSP", variables, jnp.asarray(calib[0], jnp.bfloat16),
             bf16_head=head, bf16_tail=tail, round_opt=ropt,
+            import_scales=imp,
         )
         out = fn(x_all)
         return (np.argmax(np.asarray(out[0], np.float32), -1),
@@ -109,14 +111,17 @@ def main():
 
     import time
     t0 = time.perf_counter()
+    refined: dict = {}
     ropt = quant_opt.optimize_rounding(
         "UNetSP", variables, calib, scales, steps=steps, lr=lr,
-        verbose=True,
+        verbose=True, learn_scales=learn_scales, out_scales=refined,
     )
-    print(f"optimize_rounding: {time.perf_counter()-t0:.0f}s", flush=True)
+    print(f"optimize_rounding: {time.perf_counter()-t0:.0f}s "
+          f"(learn_scales={learn_scales})", flush=True)
 
-    m_sk, m_fl = engine_masks(ropt)
-    print(f"AdaQuant engine (h={head} t={tail}): "
+    m_sk, m_fl = engine_masks(ropt, refined)
+    label = "AdaQuant+LS" if learn_scales else "AdaQuant"
+    print(f"{label} engine (h={head} t={tail}): "
           f"sk {dice(m_sk, ref_sk):.4f}  fl {dice(m_fl, ref_fl):.4f}",
           flush=True)
 

@@ -162,6 +162,7 @@ def main():
         (0.5, 0, 0), (1, 0, 0), (1.5, 0, 0), (2, 0, 0),
         (1, 0.5, 0), (1, 1, 0), (1.5, 0.5, 0),
         (0, 0, 1), (0.5, 0, 1), (1, 0, 1),
+        (0, 0, 2), (0.5, 0, 2),
     ]
     if "--configs" in sys.argv:
         configs = [
@@ -172,9 +173,11 @@ def main():
     try:
         for head, tail, aq in configs:
             if aq:
+                # aq=1: AdaQuant weight rounding; aq=2: + learned scales
                 predict_q = engine_q.build_predict_q_opt(
                     "UNetSP", variables, calib,
                     bf16_tail=tail, bf16_head=head,
+                    learn_scales=(aq >= 2),
                 )
             else:
                 predict_q = engine_q.build_predict_q(
@@ -248,10 +251,10 @@ def main():
             for (head, tail, aq), (m_sk, m_fl) in sorted(q_masks.items())
             for k, v in {
                 (f"dice_sk_engine_int8_h{head}_t{tail}"
-                 + ("_aq" if aq else "")).replace(".5", "h"):
+                 + ("_aq_ls" if aq >= 2 else "_aq" if aq else "")).replace(".5", "h"):
                     round(dice(m_sk, ref_sk), 6),
                 (f"dice_fl_engine_int8_h{head}_t{tail}"
-                 + ("_aq" if aq else "")).replace(".5", "h"):
+                 + ("_aq_ls" if aq >= 2 else "_aq" if aq else "")).replace(".5", "h"):
                     round(dice(m_fl, ref_fl), 6),
             }.items()
         },
