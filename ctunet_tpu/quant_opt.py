@@ -8,8 +8,9 @@ the per-unit sensitivity sweep (tools/int8_sensitivity.py) shows flap
 Dice capped at ~0.991 by weight rounding ALONE (activations served in
 float), and the engine's all-int8 parity lands at ~0.984.
 
-This module implements sequential AdaQuant (Hubara et al. 2020 lineage;
-see PAPERS.md): unit by unit, in forward order, optimize the INTEGER
+This module implements sequential AdaQuant (the "Improving Post Training
+Neural Quantization" / AdaQuant lineage, Hubara et al. 2020,
+arXiv:2006.10518): unit by unit, in forward order, optimize the INTEGER
 weights and the float requant bias of each Conv+BN+ReLU unit to minimize
 the unit-output MSE against the float forward — evaluated on the
 activations the quantized network ACTUALLY produces (so each unit also

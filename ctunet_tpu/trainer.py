@@ -730,55 +730,67 @@ class Model:
                 if use_q and shape not in q_by_shape:
                     from . import engine_q
 
-                    builder, extra = engine_q.build_predict_q, {}
+                    builders = [("int8", engine_q.build_predict_q, {})]
                     if self.params.get("int8_adaquant"):
-                        builder = engine_q.build_predict_q_opt
-                        extra = dict(
-                            adaquant_steps=int(
-                                self.params.get("int8_adaquant_steps")
-                                or 250
+                        # AdaQuant first; its failures (unsupported model
+                        # family for the simulator, optimizer issues)
+                        # fall back to the PLAIN int8 build, not bf16
+                        builders.insert(0, (
+                            "int8+adaquant", engine_q.build_predict_q_opt,
+                            dict(
+                                adaquant_steps=int(
+                                    self.params.get("int8_adaquant_steps")
+                                    or 250
+                                ),
+                                learn_scales=bool(
+                                    self.params.get("int8_learn_scales")
+                                ),
                             ),
-                            learn_scales=bool(
-                                self.params.get("int8_learn_scales")
-                            ),
-                        )
-                    try:
-                        qfn = builder(
-                            self.params["model_class"], variables, x[0],
-                            compute_dtype=compute_dtype,
-                            calib_quantile=float(
-                                self.params.get("int8_calib_quantile")
-                                or 1.0
-                            ),
-                            bf16_tail=float(
-                                self.params.get("int8_bf16_tail") or 0
-                            ),
-                            bf16_head=float(
-                                self.params.get("int8_bf16_head") or 0
-                            ),
-                            **extra,
-                        )
-                        # the returned jitted fn traces lazily on first
-                        # call — force the trace NOW so trace-time
-                        # failures (VMEM tile-fit ValueError, Pallas
-                        # shape asserts) hit this guard and fall back
-                        # instead of crashing serving later
-                        jax.eval_shape(qfn, x)
-                        q_by_shape[shape] = qfn
-                        print(
-                            f"serving: calibrated int8 engine for {shape}."
-                            " note: int8 PTQ can flip boundary voxels on"
-                            " thin structures (measured flap-mask Dice"
-                            " 0.93-0.99 vs the bf16 engine's >=0.99,"
-                            " checkpoint-dependent; see PARITY.md) —"
-                            " serve bf16 where mask parity matters."
-                        )
-                    except (ValueError, KeyError, AssertionError) as e:
-                        q_by_shape[shape] = None
-                        print(
-                            f"int8 engine unavailable ({e}); "
-                            "serving the bf16 engine."
-                        )
+                        ))
+                    q_by_shape[shape] = None
+                    for label, builder, extra in builders:
+                        try:
+                            qfn = builder(
+                                self.params["model_class"], variables,
+                                x[0],
+                                compute_dtype=compute_dtype,
+                                calib_quantile=float(
+                                    self.params.get("int8_calib_quantile")
+                                    or 1.0
+                                ),
+                                bf16_tail=float(
+                                    self.params.get("int8_bf16_tail") or 0
+                                ),
+                                bf16_head=float(
+                                    self.params.get("int8_bf16_head") or 0
+                                ),
+                                **extra,
+                            )
+                            # the returned jitted fn traces lazily on
+                            # first call — force the trace NOW so
+                            # trace-time failures (VMEM tile-fit
+                            # ValueError, Pallas shape asserts) hit this
+                            # guard and fall back instead of crashing
+                            # serving later
+                            jax.eval_shape(qfn, x)
+                            q_by_shape[shape] = qfn
+                            print(
+                                f"serving: calibrated {label} engine for "
+                                f"{shape}. note: int8 PTQ can flip"
+                                " boundary voxels on thin structures"
+                                " (measured flap-mask Dice 0.93-0.99 vs"
+                                " the bf16 engine's >=0.99, checkpoint-"
+                                "dependent; see PARITY.md) — serve bf16"
+                                " where mask parity matters."
+                            )
+                            break
+                        except (ValueError, KeyError, AssertionError) as e:
+                            print(
+                                f"{label} engine unavailable ({e}); "
+                                "trying the next serving mode."
+                            )
+                    if q_by_shape[shape] is None:
+                        print("serving the bf16 engine.")
                 fn = q_by_shape.get(shape) if use_q else None
                 if fn is not None:
                     return fn(x)
@@ -824,45 +836,55 @@ class Model:
                             ctr, (ps, ps, ps),
                         ))
                     calib = jnp.stack(chans, axis=-1)
-                    builder, extra = engine_q.build_predict_q, {}
+                    builders = [("int8", engine_q.build_predict_q, {})]
                     if self.params.get("int8_adaquant"):
-                        builder = engine_q.build_predict_q_opt
-                        extra = dict(
-                            adaquant_steps=int(
-                                self.params.get("int8_adaquant_steps")
-                                or 250
+                        # AdaQuant failures fall back to plain int8 (see
+                        # the whole-volume path), then bf16
+                        builders.insert(0, (
+                            "int8+adaquant", engine_q.build_predict_q_opt,
+                            dict(
+                                adaquant_steps=int(
+                                    self.params.get("int8_adaquant_steps")
+                                    or 250
+                                ),
+                                learn_scales=bool(
+                                    self.params.get("int8_learn_scales")
+                                ),
                             ),
-                            learn_scales=bool(
-                                self.params.get("int8_learn_scales")
-                            ),
-                        )
-                    try:
-                        q = builder(
-                            self.params["model_class"], variables,
-                            calib, compute_dtype=compute_dtype,
-                            calib_quantile=float(
-                                self.params.get("int8_calib_quantile")
-                                or 1.0
-                            ),
-                            bf16_tail=float(
-                                self.params.get("int8_bf16_tail") or 0
-                            ),
-                            bf16_head=float(
-                                self.params.get("int8_bf16_head") or 0
-                            ),
-                            **extra,
-                        )
-                        # force the trace inside the guard (see the
-                        # whole-volume path): trace-time tile-fit /
-                        # shape failures fall back instead of crashing
-                        jax.eval_shape(q, calib[None])
-                        apply_fn = lambda v, x: q(x)  # noqa: E731
-                        print("patch serving: calibrated int8 engine.")
-                    except (ValueError, KeyError, AssertionError) as e:
-                        print(
-                            f"int8 engine unavailable ({e}); "
-                            "serving patches on the bf16 engine."
-                        )
+                        ))
+                    for label, builder, extra in builders:
+                        try:
+                            q = builder(
+                                self.params["model_class"], variables,
+                                calib, compute_dtype=compute_dtype,
+                                calib_quantile=float(
+                                    self.params.get("int8_calib_quantile")
+                                    or 1.0
+                                ),
+                                bf16_tail=float(
+                                    self.params.get("int8_bf16_tail") or 0
+                                ),
+                                bf16_head=float(
+                                    self.params.get("int8_bf16_head") or 0
+                                ),
+                                **extra,
+                            )
+                            # force the trace inside the guard (see the
+                            # whole-volume path): trace-time tile-fit /
+                            # shape failures fall back instead of
+                            # crashing
+                            jax.eval_shape(q, calib[None])
+                            apply_fn = lambda v, x: q(x)  # noqa: E731
+                            print(f"patch serving: calibrated {label} "
+                                  "engine.")
+                            break
+                        except (ValueError, KeyError, AssertionError) as e:
+                            print(
+                                f"{label} engine unavailable ({e}); "
+                                "trying the next patch-serving mode."
+                            )
+                    else:
+                        print("serving patches on the bf16 engine.")
                 sw_state["fn"] = make_sliding_window_fn(
                     model, apply_fn=apply_fn, **sw_kwargs
                 )

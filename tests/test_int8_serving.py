@@ -74,6 +74,36 @@ def test_int8_predict_falls_back_on_unchainable(monkeypatch, capsys):
     assert out2[0] == "bf16"
 
 
+def test_adaquant_falls_back_to_plain_int8(monkeypatch, capsys):
+    """When the AdaQuant build fails (e.g. the rounding simulator does
+    not support the model family), serving falls back to the PLAIN int8
+    engine — not all the way to bf16."""
+    from ctunet_tpu import engine_q
+
+    m = _bare_model(int8_adaquant=True)
+    m._maybe_engine = lambda variables, compute_dtype: (
+        lambda x: ("bf16", tuple(x.shape))
+    )
+
+    def fake_build_q_opt(mc, variables, calib, **kw):
+        raise ValueError("quant_opt: unsupported model")
+
+    def fake_build_q(mc, variables, calib, compute_dtype=None,
+                     calib_quantile=1.0, **kw):
+        return lambda x: (jnp.asarray(8), tuple(x.shape))
+
+    monkeypatch.setattr(engine_q, "build_predict_q_opt", fake_build_q_opt)
+    monkeypatch.setattr(engine_q, "build_predict_q", fake_build_q)
+    predict = m._make_whole_volume_predict(
+        None, {"params": {}}, jnp.float32, atlas=None
+    )
+    out = predict(None, jnp.zeros((1, 8, 8, 8)))
+    assert int(out[0]) == 8  # plain int8, not bf16
+    cap = capsys.readouterr().out
+    assert "int8+adaquant engine unavailable" in cap
+    assert "calibrated int8 engine" in cap
+
+
 def test_int8_builds_per_shape(monkeypatch):
     """A mixed-size test set gets one quantized build per input shape
     (the plan is shape-specific) instead of a retrace crash."""
