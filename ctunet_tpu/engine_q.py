@@ -814,6 +814,7 @@ def build_predict_q_opt(
         model_class, variables, cb, scales,
         steps=adaquant_steps, lr=adaquant_lr, verbose=verbose,
         learn_scales=learn_scales, out_scales=refined,
+        bf16_head=float(kw.get("bf16_head") or 0),
     )
     return build_predict_q(
         model_class, variables, calib_volume, round_opt=ropt,

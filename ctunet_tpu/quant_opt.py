@@ -186,6 +186,7 @@ def optimize_rounding(
     verbose: bool = False,
     learn_scales: bool = False,
     out_scales: Optional[Dict[str, Any]] = None,
+    bf16_head: float = 0.0,
 ) -> Dict[str, Dict[str, np.ndarray]]:
     """Sequential AdaQuant over the generic-UNet conv units.
 
@@ -204,6 +205,14 @@ def optimize_rounding(
         ``export_scales`` format — pass to ``build_predict_q(
         import_scales=...)``. Identical to ``scales`` unless
         ``learn_scales``.
+    :param bf16_head: must match the engine build's ``bf16_head``: the
+        leading encoder units it names are served bf16, so the
+        simulation keeps them FLOAT (no weight/activation quantization,
+        no overrides) and quantizes the chain once at the switch —
+        downstream units then optimize against the activations the
+        mixed-precision engine actually produces. (``bf16_tail`` needs
+        no counterpart: tail units run AFTER every quantized unit, so
+        their overrides are simply unused by the engine.)
     :returns: ``{tag: {"q", "k", "db"}}`` for ``round_opt=``.
     """
     if not supports(model_class):
@@ -298,14 +307,30 @@ def optimize_rounding(
         return y_f, y_hat
 
     # ---- entry ----------------------------------------------------------
-    s_entry = ts["entry"][:-1]
+    head_units = int(round(max(0.0, min(float(bf16_head), float(n))) * 2))
     x_f = x
-    x_hat = _fq_in(x, s_entry)
+    # with a bf16 head the engine consumes the input unquantized
+    x_hat = _fq_in(x, ts["entry"][:-1]) if head_units == 0 else x
 
-    skips_f, skips_hat = [], []
+    skips_f, skips_hat, skips_float = [], [], []
     for i in range(n):
         for j in range(2):
             tag = f"d{i}.{j}"
+            t_idx = 2 * i + j
+            if t_idx < head_units:
+                # unit served bf16 by the engine: float simulation, no
+                # overrides; the chain is quantized ONCE at the switch
+                # (the last bf16 unit's output scale — same constant the
+                # engine's switch affine uses)
+                w_eff, shift = _unit_wb(
+                    params[f"d{i}"][f"unit{j}"], stats[f"d{i}"][f"unit{j}"]
+                )
+                x_f = jnp.maximum(
+                    _conv(x_f, jnp.asarray(w_eff)) + shift, 0.0
+                )
+                x_hat = (x_f if t_idx + 1 < head_units
+                         else _fq_in(x_f, ts[tag][:-1]))
+                continue
             prev = ("entry" if (i, j) == (0, 0)
                     else f"d{i-1}.1" if j == 0 else f"d{i}.0")
             x_f, x_hat = unit_opt(
@@ -316,10 +341,18 @@ def optimize_rounding(
             x_hat = _fq_in(x_hat, ts[tag][:-1])
         skips_f.append(x_f)
         skips_hat.append(x_hat)
+        # bf16-head skips stay float in the engine chain and are
+        # quantized at their decoder consumption site instead
+        skips_float.append(2 * i + 2 < head_units)
         x_f = _maxpool(x_f)
         x_hat = _maxpool(x_hat)  # int8 max pool is exact: same scales
 
     from .ops.pallas import upconv as uc
+
+    if skips_float and skips_float[-1]:
+        # fully-bf16 encoder: the chain is quantized entering the (int8)
+        # decoder at the bottleneck scale
+        x_hat = _fq_in(x_hat, ts[f"d{n-1}.1"][:-1])
 
     for idx in range(n):
         i = n - 1 - idx
@@ -327,8 +360,13 @@ def optimize_rounding(
         if idx == 0:
             cat_f, cat_hat = x_f, x_hat
         else:
+            b_hat = skips_hat[i + 1]
+            if skips_float[i + 1]:
+                # engine quantizes a bf16-head skip at its consumption
+                # site, at the block's output scale
+                b_hat = _fq_in(b_hat, ts[f"d{i+1}.1"][:-1])
             cat_f = jnp.concatenate([x_f, skips_f[i + 1]], -1)
-            cat_hat = jnp.concatenate([x_hat, skips_hat[i + 1]], -1)
+            cat_hat = jnp.concatenate([x_hat, b_hat], -1)
         ku = jnp.asarray(up["kernel"], jnp.float32)
         bu = jnp.asarray(up["bias"], jnp.float32)
         w0_eff, shift0 = _unit_wb(

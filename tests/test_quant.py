@@ -229,6 +229,53 @@ def test_int8_engine_spsmall_exhausted_tail(rng):
         ) > 0.995
 
 
+def test_adaquant_respects_bf16_head(rng):
+    """With a bf16 head, the rounding simulator keeps the bf16-served
+    units float (no overrides for them) and the optimized engine at the
+    SAME head config does not regress vs RTN."""
+    from ctunet_tpu import engine, engine_q, quant_opt
+    from ctunet_tpu.models import build_model
+
+    shape = (16, 16, 32)
+    m = build_model("UNetSP", compute_dtype="float32", use_checkpoint=False)
+    x0 = jnp.zeros((1, *shape, 2), jnp.float32)
+    vs = jax.jit(m.init, static_argnums=(2,))(jax.random.key(0), x0, False)
+    x = jnp.asarray((rng.random((1, *shape, 2)) > 0.5).astype(np.float32))
+
+    want = engine.build_predict(
+        "UNetSP", vs, compute_dtype=jnp.float32, interpret=True
+    )(x)
+    w_leaves = [np.asarray(w, np.float32) for w in jax.tree.leaves(want)]
+
+    scales: dict = {}
+    engine_q.build_predict_q(
+        "UNetSP", vs, x[0], compute_dtype=jnp.float32, interpret=True,
+        export_scales=scales, jit=False, bf16_head=0.5,
+    )
+
+    def err(ropt):
+        got = engine_q.build_predict_q(
+            "UNetSP", vs, x[0], compute_dtype=jnp.float32, interpret=True,
+            round_opt=ropt, bf16_head=0.5,
+        )(x)
+        g_leaves = [np.asarray(g, np.float32) for g in jax.tree.leaves(got)]
+        for g, w in zip(g_leaves, w_leaves):
+            assert (g.argmax(-1) == w.argmax(-1)).mean() > 0.99
+        return float(np.mean([
+            np.abs(g - w).mean() for g, w in zip(g_leaves, w_leaves)
+        ]))
+
+    e_rtn = err(None)
+    ropt = quant_opt.optimize_rounding(
+        "UNetSP", vs, np.asarray(x, np.float32), scales,
+        steps=20, lr=0.02, bf16_head=0.5,
+    )
+    assert "d0.0" not in ropt  # bf16-served unit: no override
+    assert "d0.1" in ropt and "u3.1" in ropt
+    e_opt = err(ropt)
+    assert e_opt <= e_rtn * 1.02, (e_rtn, e_opt)
+
+
 def test_int8_engine_spsmall_adaquant(rng):
     """AdaQuant on the 5-block UNetSPSmall (the 224x512x512 serving
     family, exhausted-tail engine plan): the generic rounding simulator

@@ -115,6 +115,7 @@ def main():
     ropt = quant_opt.optimize_rounding(
         "UNetSP", variables, calib, scales, steps=steps, lr=lr,
         verbose=True, learn_scales=learn_scales, out_scales=refined,
+        bf16_head=head,
     )
     print(f"optimize_rounding: {time.perf_counter()-t0:.0f}s "
           f"(learn_scales={learn_scales})", flush=True)
