@@ -187,7 +187,9 @@ def optimize_rounding(
     learn_scales: bool = False,
     out_scales: Optional[Dict[str, Any]] = None,
     bf16_head: float = 0.0,
-) -> Dict[str, Dict[str, np.ndarray]]:
+    apply_opt: Optional[Dict[str, Dict[str, np.ndarray]]] = None,
+    return_outputs: bool = False,
+):
     """Sequential AdaQuant over the generic-UNet conv units.
 
     :param calib_batch: (N, D, H, W, Cin) float calibration volumes.
@@ -213,7 +215,17 @@ def optimize_rounding(
         mixed-precision engine actually produces. (``bf16_tail`` needs
         no counterpart: tail units run AFTER every quantized unit, so
         their overrides are simply unused by the engine.)
-    :returns: ``{tag: {"q", "k", "db"}}`` for ``round_opt=``.
+    :param apply_opt: previously computed overrides to APPLY (not
+        re-optimize) on units excluded via ``tags`` — with
+        ``tags=set()`` this turns the call into a pure evaluation
+        forward of a fixed quantization on new inputs.
+    :param return_outputs: also run the final skip-concat + 1x1 head
+        (float weights; the engine's head rounding is measured mild)
+        and return ``(overrides, out_float, out_quant)`` — the model's
+        output tuple for both the float and the simulated-quantized
+        forward. Default returns just ``overrides``.
+    :returns: ``{tag: {"q", "k", "db"}}`` for ``round_opt=``; with
+        ``return_outputs``, the 3-tuple above.
     """
     if not supports(model_class):
         raise ValueError(f"quant_opt: unsupported model {model_class}")
@@ -240,11 +252,19 @@ def optimize_rounding(
         s_in = ts[s_in_tag][:-1]  # strip ones
         w_s, k = _grid(w_eff, s_in)
         if tags is not None and tag not in tags:
-            # RTN for un-optimized units (still sequentially exact)
-            q = np.clip(np.round(w_s * k), -127, 127)
-            w_dq = q / k / s_in[:, None]
+            # un-optimized unit: apply fixed overrides when given
+            # (evaluation mode), else RTN — still sequentially exact
+            ov = (apply_opt or {}).get(tag)
+            if ov is not None:
+                w_dq = ov["q"] / ov["k"] / s_in[:, None]
+                db_v = jnp.asarray(ov["db"], jnp.float32)
+            else:
+                q = np.clip(np.round(w_s * k), -127, 127)
+                w_dq = q / k / s_in[:, None]
+                db_v = 0.0
             y_hat = jnp.maximum(
-                _conv(x_hat, jnp.asarray(w_dq, jnp.float32)) + shift, 0.0
+                _conv(x_hat, jnp.asarray(w_dq, jnp.float32)) + shift
+                + db_v, 0.0
             )
             return y_f, y_hat
         c0 = jnp.asarray(w_s * k, jnp.float32)
@@ -417,15 +437,22 @@ def optimize_rounding(
         ).astype(np.float32)
         y_norm = float(jnp.mean(jnp.square(x_f)))
         if (tags is not None and tag0 not in tags) or y_norm <= 0.0:
-            q = np.clip(np.round(r_s * k), -127, 127)
-            w_dq = q / k / s_in_full[:, None]
+            ov = (apply_opt or {}).get(tag0)
+            if ov is not None and tags is not None and tag0 not in tags:
+                w_dq = ov["q"] / ov["k"] / s_in_full[:, None]
+                db_v = jnp.asarray(ov["db"], jnp.float32)
+            else:
+                q = np.clip(np.round(r_s * k), -127, 127)
+                w_dq = q / k / s_in_full[:, None]
+                db_v = 0.0
             y_hat = jnp.maximum(
                 _composite_apply(x_aug, jnp.asarray(w_dq, jnp.float32))
-                + shift0, 0.0,
+                + shift0 + db_v, 0.0,
             )
-            if y_norm > 0.0:
+            if y_norm > 0.0 and ov is None:
                 overrides[tag0] = {
-                    "q": q.astype(np.float32), "k": k,
+                    "q": np.clip(np.round(r_s * k), -127, 127).astype(
+                        np.float32), "k": k,
                     "db": np.zeros(resp.shape[-1], np.float32),
                 }
         else:
@@ -480,16 +507,113 @@ def optimize_rounding(
     if out_scales is not None:
         # assemble the (refined) scales in export format for
         # ``build_predict_q(import_scales=...)``
-        out_scales["entry"] = ts["entry"]
-        s_cur = ts["entry"]
-        for i in range(n):
-            out_scales[f"d{i}.0"] = (s_cur, ts[f"d{i}.0"])
-            out_scales[f"d{i}.1"] = (ts[f"d{i}.0"], ts[f"d{i}.1"])
-            s_cur = ts[f"d{i}.1"]
-        for idx in range(n):
-            out_scales[f"u{idx}.0"] = ts[f"u{idx}.0"]
-            out_scales[f"u{idx}.1"] = (ts[f"u{idx}.0"], ts[f"u{idx}.1"])
+        out_scales.update(_assemble_export(ts, n))
+    if return_outputs:
+        # final skip concat + 1x1 head + variant output mapping (engine:
+        # lc consumes the chain value and the d0 skip; a bf16-head skip
+        # reaches the head unquantized — skips_hat[0] already reflects
+        # both cases)
+        out_f = _sim_head(
+            cfg, params, jnp.concatenate([x_f, skips_f[0]], -1)
+        )
+        out_hat = _sim_head(
+            cfg, params, jnp.concatenate([x_hat, skips_hat[0]], -1)
+        )
+        return overrides, out_f, out_hat
     return overrides
+
+
+def _assemble_export(ts: Dict[str, np.ndarray], n: int) -> Dict[str, Any]:
+    """Per-tensor output-scale map -> the engine's export_scales format
+    (``{"entry": s, "d{i}.{j}"|"u{idx}.1": (s_in, s_out),
+    "u{idx}.0": s_up}``)."""
+    out: Dict[str, Any] = {"entry": ts["entry"]}
+    s_cur = ts["entry"]
+    for i in range(n):
+        out[f"d{i}.0"] = (s_cur, ts[f"d{i}.0"])
+        out[f"d{i}.1"] = (ts[f"d{i}.0"], ts[f"d{i}.1"])
+        s_cur = ts[f"d{i}.1"]
+    for idx in range(n):
+        out[f"u{idx}.0"] = ts[f"u{idx}.0"]
+        out[f"u{idx}.1"] = (ts[f"u{idx}.0"], ts[f"u{idx}.1"])
+    return out
+
+
+def simulate_scales(
+    model_class: str,
+    variables: Dict[str, Any],
+    calib_batch,
+) -> Dict[str, Any]:
+    """Engine-equivalent max calibration WITHOUT the engine: per-channel
+    activation maxima from a float forward, ``s = max/255`` (zero-point
+    range), assembled in the ``export_scales`` format with ones lanes.
+
+    Matches ``build_predict_q``'s calibration up to compute-dtype
+    rounding (the engine calibrates through its bf16 kernels). Use it to
+    drive :func:`optimize_rounding` or ``import_scales`` builds on hosts
+    without a TPU (PTQ config evaluation, CI).
+    """
+    if not supports(model_class):
+        raise ValueError(f"quant_opt: unsupported model {model_class}")
+    cfg = _CONFIGS[model_class]
+    n = cfg["n_blocks"]
+    params = variables["params"]["unet"]
+    stats = variables["batch_stats"]["unet"]
+    x = jnp.asarray(calib_batch, jnp.float32)
+
+    def smax(t) -> np.ndarray:
+        m = np.asarray(
+            jnp.max(jnp.abs(t), axis=tuple(range(t.ndim - 1))), np.float32
+        )
+        m = np.maximum(m, _EPS)
+        return np.concatenate(
+            [m / _QMAX, [1.0 / _QMAX]]
+        ).astype(np.float32)
+
+    ts: Dict[str, np.ndarray] = {"entry": smax(x)}
+
+    def unit(xin, pu, su):
+        w_eff, shift = _unit_wb(pu, su)
+        return jnp.maximum(_conv(xin, jnp.asarray(w_eff)) + shift, 0.0)
+
+    skips = []
+    for i in range(n):
+        for j in range(2):
+            x = unit(x, params[f"d{i}"][f"unit{j}"],
+                     stats[f"d{i}"][f"unit{j}"])
+            ts[f"d{i}.{j}"] = smax(x)
+        skips.append(x)
+        x = _maxpool(x)
+    for idx in range(n):
+        i = n - 1 - idx
+        cat = x if idx == 0 else jnp.concatenate([x, skips[i + 1]], -1)
+        up = params[f"u{idx}"]["upconv"]
+        h = _convt2x2(
+            cat, jnp.asarray(up["kernel"], jnp.float32),
+            jnp.asarray(up["bias"], jnp.float32),
+        )
+        x = unit(h, params[f"u{idx}"]["unit0"], stats[f"u{idx}"]["unit0"])
+        ts[f"u{idx}.0"] = smax(x)
+        x = unit(x, params[f"u{idx}"]["unit1"], stats[f"u{idx}"]["unit1"])
+        ts[f"u{idx}.1"] = smax(x)
+    return _assemble_export(ts, n)
+
+
+def _sim_head(cfg, params, feat):
+    """Float 1x1 head + variant output mapping (mirrors the model
+    variants; the engine's int8 head rounding is not simulated)."""
+    from .models.variants import _double_out_head
+
+    lc_k = jnp.asarray(params["last_conv"]["kernel"], jnp.float32)[0, 0, 0]
+    lc_b = jnp.asarray(params["last_conv"]["bias"], jnp.float32)
+    out3 = jax.nn.sigmoid(feat @ lc_k + lc_b)
+    head = cfg["head"]
+    if head is None:
+        return (out3,)
+    full, flap = _double_out_head(out3)
+    if head == "double_softmax":
+        return (jax.nn.softmax(full, -1), jax.nn.softmax(flap, -1))
+    return (full, flap)
 
 
 def _maxpool(x):

@@ -229,6 +229,72 @@ def test_int8_engine_spsmall_exhausted_tail(rng):
         ) > 0.995
 
 
+def test_quant_sim_calibrate_and_evaluate(rng):
+    """The TPU-free PTQ evaluation stack: simulate_scales matches the
+    engine's exported calibration, return_outputs' float head matches
+    the real model forward, and apply_opt evaluation of fixed overrides
+    on fresh inputs does not regress vs RTN."""
+    from ctunet_tpu import engine_q, quant_opt
+    from ctunet_tpu.models import build_model
+
+    shape = (16, 16, 32)
+    m = build_model("UNetSP", compute_dtype="float32", use_checkpoint=False)
+    x0 = jnp.zeros((1, *shape, 2), jnp.float32)
+    vs = jax.jit(m.init, static_argnums=(2,))(jax.random.key(0), x0, False)
+    x = jnp.asarray((rng.random((1, *shape, 2)) > 0.5).astype(np.float32))
+    x2 = jnp.asarray((rng.random((1, *shape, 2)) > 0.5).astype(np.float32))
+
+    # (1) simulator calibration == engine calibration (f32 engine)
+    scales: dict = {}
+    engine_q.build_predict_q(
+        "UNetSP", vs, x[0], compute_dtype=jnp.float32, interpret=True,
+        export_scales=scales, jit=False,
+    )
+    sim_scales = quant_opt.simulate_scales("UNetSP", vs, np.asarray(x))
+    assert set(sim_scales) == set(scales)
+    for t in scales:
+        a = scales[t][1] if isinstance(scales[t], tuple) else scales[t]
+        b = (sim_scales[t][1] if isinstance(sim_scales[t], tuple)
+             else sim_scales[t])
+        # engine calibration flows through the fused kernels (different
+        # f32 summation order than the sim's plain conv); the drift
+        # compounds with depth — a few % is calibration-insignificant
+        # (scales quantize to 8 bits of range)
+        np.testing.assert_allclose(b, a, rtol=3e-2, atol=1e-7, err_msg=t)
+
+    # (2) return_outputs: float path == the real model forward
+    _, out_f, out_rtn = quant_opt.optimize_rounding(
+        "UNetSP", vs, np.asarray(x, np.float32), sim_scales,
+        tags=set(), return_outputs=True,
+    )
+    want = m.apply(vs, x, False)
+    for a, b in zip(jax.tree.leaves(out_f), jax.tree.leaves(want)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b, np.float32), atol=2e-4
+        )
+
+    # (3) optimize on x, evaluate with apply_opt on fresh x2
+    ropt = quant_opt.optimize_rounding(
+        "UNetSP", vs, np.asarray(x, np.float32), sim_scales,
+        steps=20, lr=0.02,
+    )
+    _, f2, rtn2 = quant_opt.optimize_rounding(
+        "UNetSP", vs, np.asarray(x2, np.float32), sim_scales,
+        tags=set(), return_outputs=True,
+    )
+    _, _, opt2 = quant_opt.optimize_rounding(
+        "UNetSP", vs, np.asarray(x2, np.float32), sim_scales,
+        tags=set(), apply_opt=ropt, return_outputs=True,
+    )
+    def mae(o):
+        return float(np.mean([
+            np.abs(np.asarray(a) - np.asarray(b)).mean()
+            for a, b in zip(jax.tree.leaves(o), jax.tree.leaves(f2))
+        ]))
+    e_rtn, e_opt = mae(rtn2), mae(opt2)
+    assert e_opt <= e_rtn * 1.10, (e_rtn, e_opt)  # generalizes, not exact
+
+
 def test_adaquant_respects_bf16_head(rng):
     """With a bf16 head, the rounding simulator keeps the bf16-served
     units float (no overrides for them) and the optimized engine at the
