@@ -42,6 +42,11 @@ def main():
     modes = arg("--modes", "rtn,aq,aq_ls", str).split(",")
 
     import jax
+    if "--cpu" in sys.argv or os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the env var alone is not honored once the TPU plugin's
+        # sitecustomize has run; force the platform explicitly so the
+        # preview never blocks on an unavailable chip
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(REPO, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
