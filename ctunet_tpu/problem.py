@@ -53,6 +53,19 @@ def _mask_u8(mask: np.ndarray) -> np.ndarray:
     return np.asarray(mask).astype(np.uint8)
 
 
+def _copy_input(inp_path: str, out_path: str) -> None:
+    """The ``_i`` companion (ref ``ProblemHandler.py:155-162``) is the
+    input volume itself: when the formats match, copy the file's bytes
+    instead of decode + re-gzip (~230 ms/volume of single-core time at
+    224x304x304 — the serving loop's largest host cost after the masks)."""
+    import shutil
+
+    if os.path.splitext(inp_path)[1] == os.path.splitext(out_path)[1]:
+        shutil.copyfile(inp_path, out_path)
+    else:
+        nifti.write(out_path, nifti.read(inp_path))
+
+
 class ProblemHandler:
     """Base handler (ref ``ProblemHandler.py:21-102``)."""
 
@@ -125,12 +138,13 @@ class ProblemHandler:
         preds = np.asarray(predictions)
         out_folder = None
         name = None
-        src = None
+        last_inp = None
         for pred, inp_path in zip(preds, input_filepaths):
             path, name = os.path.split(inp_path)
             print("  " + name + "..")
             out_folder = makedir(os.path.join(path, "pred_" + output_folder_name))
-            src = nifti.read(inp_path)
+            src = nifti.read(inp_path, header_only=True)
+            last_inp = inp_path
             hard = _hard_mask(pred)
             if hard.ndim > 3:  # several images: <file>_c{i}.nii.gz each
                 for i, sub in enumerate(hard.reshape((-1,) + hard.shape[-3:])):
@@ -151,7 +165,7 @@ class ProblemHandler:
             orig = os.path.join(
                 out_folder, name.replace(".nii.gz", "_i.nii.gz")
             )
-            nifti.write(orig, src)
+            _copy_input(last_inp, orig)
             saved.append(orig)
         return saved
 
@@ -299,7 +313,10 @@ class FlapRecWithShapePriorDoubleOut(ImageTargetProblem):
             out_folder = makedir(
                 os.path.join(path, "pred_" + output_folder_name)
             )
-            src = nifti.read(inp_path)
+            # masks only need the input's physical space (affine) — the
+            # header parse skips the full gzip decode (single-core
+            # serving hosts: the decode was ~80 ms/volume of loop time)
+            src = nifti.read(inp_path, header_only=True)
             for pred, sfx in ((pred_sk, "sk"), (pred_fl, "fl")):
                 hard = self._post(_hard_mask(pred))
                 o_name = name.replace(".nii.gz", f"_{sfx}.nii.gz")
@@ -309,7 +326,7 @@ class FlapRecWithShapePriorDoubleOut(ImageTargetProblem):
             orig = os.path.join(
                 out_folder, name.replace(".nii.gz", "_i.nii.gz")
             )
-            nifti.write(orig, src)
+            _copy_input(inp_path, orig)
             saved.append(orig)
         return saved
 

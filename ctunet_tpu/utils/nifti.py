@@ -95,10 +95,17 @@ def _open(path: str, mode: str, compresslevel: int = 9):
     return open(path, mode)
 
 
-def read(path: str) -> NiftiImage:
-    """Read a ``.nii`` / ``.nii.gz`` file."""
+def read(path: str, header_only: bool = False) -> NiftiImage:
+    """Read a ``.nii`` / ``.nii.gz`` file.
+
+    ``header_only`` parses just the 348-byte header (for ``.gz`` only the
+    first deflate block is decompressed) and returns an image whose
+    ``data`` is a zero-length placeholder — use it when only the affine /
+    physical space is needed (``with_data`` templates): on large gzipped
+    volumes this is ~100x cheaper than a full decode.
+    """
     with _open(path, "rb") as f:
-        raw = f.read()
+        raw = f.read(_HDR_SIZE) if header_only else f.read()
 
     if len(raw) < _HDR_SIZE:
         raise ValueError(f"{path}: truncated NIfTI header")
@@ -134,6 +141,14 @@ def read(path: str) -> NiftiImage:
         raise ValueError(f"{path}: unsupported datatype code {datatype}")
     dtype = np.dtype(_DTYPES[datatype]).newbyteorder(endian)
 
+    affine = _affine_from_header(
+        endian, raw, sform_code, qform_code, pixdim, shape_xyz
+    )
+    if header_only:
+        return NiftiImage(
+            data=np.empty((0,), dtype.newbyteorder("=")), affine=affine
+        )
+
     data = np.frombuffer(raw, dtype=dtype, count=nvox, offset=vox_offset)
     # Disk order is x-fastest; C-reshape with reversed shape gives [z, y, x].
     data = data.reshape(shape_xyz[::-1]).astype(dtype.newbyteorder("="))
@@ -142,9 +157,6 @@ def read(path: str) -> NiftiImage:
         slope = scl_slope if scl_slope != 0.0 else 1.0
         data = data.astype(np.float32) * slope + scl_inter
 
-    affine = _affine_from_header(
-        endian, raw, sform_code, qform_code, pixdim, shape_xyz
-    )
     return NiftiImage(data=data, affine=affine)
 
 

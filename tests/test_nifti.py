@@ -89,3 +89,28 @@ def test_bool_written_as_uint8(tmp_path):
     back = nifti.read(path)
     assert back.data.dtype == np.uint8
     assert back.data[0, 0, 0] == 1
+
+
+def test_read_header_only(tmp_path):
+    """header_only parses the affine without decoding the data (cheap
+    with_data templates for prediction writers)."""
+    from ctunet_tpu.utils import nifti
+
+    data = (np.random.default_rng(3).random((8, 10, 12)) * 9).astype(
+        np.uint8
+    )
+    affine = np.eye(4)
+    affine[:3, 3] = [4.0, -5.5, 6.25]
+    affine[0, 0] = 2.0
+    p = str(tmp_path / "v.nii.gz")
+    nifti.write(p, nifti.NiftiImage(data=data, affine=affine))
+
+    full = nifti.read(p)
+    hdr = nifti.read(p, header_only=True)
+    np.testing.assert_allclose(hdr.affine, full.affine)
+    assert hdr.data.size == 0 and hdr.data.dtype == full.data.dtype
+    out = str(tmp_path / "m.nii.gz")
+    nifti.write(out, hdr.with_data(np.ones_like(data)))
+    back = nifti.read(out)
+    np.testing.assert_allclose(back.affine, full.affine)
+    assert (back.data == 1).all()
