@@ -172,21 +172,8 @@ def _quant_upconv(up_raw, unit0, ca: Optional[int], s_a: np.ndarray,
     :param s_out: per-channel scales of the output (incl. ones).
     """
     kk, bb = up_raw
-    bcol = np.broadcast_to(
-        np.asarray(bb, np.float32)[None, None, None, :, None],
-        kk.shape[:4] + (1,),
-    ).copy()
-    if ca is None:
-        kT_aug = np.concatenate([kk, bcol], -1)
-        ci_split = None
-        s_in = s_a
-    else:
-        zcol = np.zeros_like(bcol)
-        kT_aug = np.concatenate(
-            [kk[..., :ca], bcol, kk[..., ca:], zcol], -1
-        )
-        ci_split = ca + 1
-        s_in = np.concatenate([s_a, s_b])
+    kT_aug, ci_split = uc.augment_upconv_kernel(kk, bb, ca)
+    s_in = s_a if ca is None else np.concatenate([s_a, s_b])
     w0a, s0a, b0a = unit0._aug(False, True)
     r = uc.composite_response(kT_aug, w0a, s0a)
     r_s = r * s_in.astype(np.float32)[None, None, None, :, None]

@@ -45,6 +45,35 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def augment_upconv_kernel(kk: np.ndarray, bb: np.ndarray,
+                          ca: Optional[int] = None):
+    """Append the convT bias as a ones-driven input column — the shared
+    augmented-kernel layout consumed by :func:`composite_response`.
+
+    Single-operand (``ca=None``): ``[k | bias-col]``. Dual-operand
+    (operand a has ``ca`` real channels followed by operand b):
+    ``[k_a | bias-col | k_b | zero-col]`` — each operand carries a ones
+    lane, the first regenerates the convT bias, the second contributes
+    nothing. Returns ``(kT_aug, ci_split)`` with ``ci_split`` the lane
+    index where operand b starts (None for single-operand). The engine
+    build (``engine_q._quant_upconv``) and the rounding simulator
+    (``quant_opt``) both use this so their composite lane layouts can
+    never drift apart.
+    """
+    kk = np.asarray(kk, np.float32)
+    bcol = np.broadcast_to(
+        np.asarray(bb, np.float32)[None, None, None, :, None],
+        kk.shape[:4] + (1,),
+    ).copy()
+    if ca is None:
+        return np.concatenate([kk, bcol], -1), None
+    zcol = np.zeros_like(bcol)
+    kT_aug = np.concatenate(
+        [kk[..., :ca], bcol, kk[..., ca:], zcol], -1
+    )
+    return kT_aug, ca + 1
+
+
 def composite_response(
     kT: np.ndarray,
     w0: np.ndarray,

@@ -152,7 +152,9 @@ def _adam_best(loss_fn, p0, steps: int, lr: float):
             best_l, best_p = lf, p
         p = new_p
     lf = float(loss_fn(p))
-    if lf < best_l:
+    if l0 is None:
+        l0 = lf  # steps=0: the init is the only iterate
+    if best_l is None or lf < best_l:
         best_l, best_p = lf, p
     return best_p, l0, best_l
 
@@ -359,40 +361,35 @@ def optimize_rounding(
                 prev,
             )
             x_hat = _fq_in(x_hat, ts[tag][:-1])
+        # a block the engine serves FULLY bf16 keeps its skip tensor
+        # bf16 too — quantized only at its decoder consumption site (the
+        # final 1x1 head consumes it unquantized). The CHAIN is still
+        # quantized at the switch (the per-unit rule above), so the skip
+        # must be stored from the float value, not the chain value.
+        skip_float = 2 * i + 2 <= head_units
         skips_f.append(x_f)
-        skips_hat.append(x_hat)
-        # bf16-head skips stay float in the engine chain and are
-        # quantized at their decoder consumption site instead
-        skips_float.append(2 * i + 2 < head_units)
+        skips_hat.append(x_f if skip_float else x_hat)
+        skips_float.append(skip_float)
         x_f = _maxpool(x_f)
         x_hat = _maxpool(x_hat)  # int8 max pool is exact: same scales
 
     from .ops.pallas import upconv as uc
 
-    if skips_float and skips_float[-1]:
-        # fully-bf16 encoder: the chain is quantized entering the (int8)
-        # decoder at the bottleneck scale
-        x_hat = _fq_in(x_hat, ts[f"d{n-1}.1"][:-1])
-
     for idx in range(n):
         i = n - 1 - idx
         up = params[f"u{idx}"]["upconv"]
-        if idx == 0:
-            cat_f, cat_hat = x_f, x_hat
-        else:
-            b_hat = skips_hat[i + 1]
-            if skips_float[i + 1]:
-                # engine quantizes a bf16-head skip at its consumption
-                # site, at the block's output scale
-                b_hat = _fq_in(b_hat, ts[f"d{i+1}.1"][:-1])
+        if idx > 0:
             cat_f = jnp.concatenate([x_f, skips_f[i + 1]], -1)
-            cat_hat = jnp.concatenate([x_hat, b_hat], -1)
+        else:
+            cat_f = x_f
         ku = jnp.asarray(up["kernel"], jnp.float32)
         bu = jnp.asarray(up["bias"], jnp.float32)
         w0_eff, shift0 = _unit_wb(
             params[f"u{idx}"]["unit0"], stats[f"u{idx}"]["unit0"]
         )
-        s_up = ts[f"u{idx}.0"][:-1]
+        # copy: ts[tag0] is refined in place below — the db export and
+        # the loss parametrization must keep the PRE-refinement scale
+        s_up = ts[f"u{idx}.0"][:-1].copy()
 
         def upconv0(xin):
             h = _convt2x2(xin, ku, bu)
@@ -409,25 +406,23 @@ def optimize_rounding(
         tag0 = f"u{idx}.0"
         ku_np = np.asarray(up["kernel"], np.float32)
         bu_np = np.asarray(up["bias"], np.float32)
-        bcol = np.broadcast_to(
-            bu_np[None, None, None, :, None], ku_np.shape[:4] + (1,)
-        ).copy()
         if idx == 0:
-            kT_aug = np.concatenate([ku_np, bcol], -1)
-            s_a = ts[f"d{n-1}.1"]
-            s_in_full = s_a
+            kT_aug, _ = uc.augment_upconv_kernel(ku_np, bu_np, None)
+            s_in_full = ts[f"d{n-1}.1"]
             aug = [x_hat, jnp.ones_like(x_hat[..., :1])]
         else:
             ca = x_hat.shape[-1]
-            zcol = np.zeros_like(bcol)
-            kT_aug = np.concatenate(
-                [ku_np[..., :ca], bcol, ku_np[..., ca:], zcol], -1
+            kT_aug, _ = uc.augment_upconv_kernel(ku_np, bu_np, ca)
+            s_in_full = np.concatenate(
+                [ts[f"u{idx-1}.1"], ts[f"d{i+1}.1"]]
             )
-            s_a = ts[f"u{idx-1}.1"]
-            s_b = ts[f"d{i+1}.1"]
-            s_in_full = np.concatenate([s_a, s_b])
+            b_hat = skips_hat[i + 1]
+            if skips_float[i + 1]:
+                # engine quantizes a bf16-head skip at its consumption
+                # site, at the block's output scale
+                b_hat = _fq_in(b_hat, ts[f"d{i+1}.1"][:-1])
             ones = jnp.ones_like(x_hat[..., :1])
-            aug = [x_hat, ones, skips_hat[i + 1], ones]
+            aug = [x_hat, ones, b_hat, ones]
         x_aug = jnp.concatenate(aug, -1)
         resp = uc.composite_response(kT_aug, w0_eff)  # real out cols
         r_s = resp * s_in_full[None, None, None, :, None]
@@ -436,9 +431,10 @@ def optimize_rounding(
             amax > 0, 127.0 / np.maximum(amax, _EPS), 1.0
         ).astype(np.float32)
         y_norm = float(jnp.mean(jnp.square(x_f)))
-        if (tags is not None and tag0 not in tags) or y_norm <= 0.0:
-            ov = (apply_opt or {}).get(tag0)
-            if ov is not None and tags is not None and tag0 not in tags:
+        excluded = tags is not None and tag0 not in tags
+        if excluded or y_norm <= 0.0:
+            ov = (apply_opt or {}).get(tag0) if excluded else None
+            if ov is not None:
                 w_dq = ov["q"] / ov["k"] / s_in_full[:, None]
                 db_v = jnp.asarray(ov["db"], jnp.float32)
             else:
@@ -449,7 +445,10 @@ def optimize_rounding(
                 _composite_apply(x_aug, jnp.asarray(w_dq, jnp.float32))
                 + shift0 + db_v, 0.0,
             )
-            if y_norm > 0.0 and ov is None:
+            if not excluded and y_norm <= 0.0:
+                # dead composite on the calibration set: RTN override,
+                # mirroring the plain-unit dead branch (excluded tags
+                # record nothing, also mirroring the plain units)
                 overrides[tag0] = {
                     "q": np.clip(np.round(r_s * k), -127, 127).astype(
                         np.float32), "k": k,

@@ -295,10 +295,14 @@ def test_quant_sim_calibrate_and_evaluate(rng):
     assert e_opt <= e_rtn * 1.10, (e_rtn, e_opt)  # generalizes, not exact
 
 
-def test_adaquant_respects_bf16_head(rng):
+@pytest.mark.parametrize("head", [0.5, 1.0])
+def test_adaquant_respects_bf16_head(rng, head):
     """With a bf16 head, the rounding simulator keeps the bf16-served
     units float (no overrides for them) and the optimized engine at the
-    SAME head config does not regress vs RTN."""
+    SAME head config does not regress vs RTN. head=0.5 switches
+    mid-block; head=1.0 exercises the block-boundary case where the
+    engine keeps the block's SKIP tensor bf16 while the chain is
+    quantized at the switch."""
     from ctunet_tpu import engine, engine_q, quant_opt
     from ctunet_tpu.models import build_model
 
@@ -316,13 +320,13 @@ def test_adaquant_respects_bf16_head(rng):
     scales: dict = {}
     engine_q.build_predict_q(
         "UNetSP", vs, x[0], compute_dtype=jnp.float32, interpret=True,
-        export_scales=scales, jit=False, bf16_head=0.5,
+        export_scales=scales, jit=False, bf16_head=head,
     )
 
     def err(ropt):
         got = engine_q.build_predict_q(
             "UNetSP", vs, x[0], compute_dtype=jnp.float32, interpret=True,
-            round_opt=ropt, bf16_head=0.5,
+            round_opt=ropt, bf16_head=head,
         )(x)
         g_leaves = [np.asarray(g, np.float32) for g in jax.tree.leaves(got)]
         for g, w in zip(g_leaves, w_leaves):
@@ -334,10 +338,14 @@ def test_adaquant_respects_bf16_head(rng):
     e_rtn = err(None)
     ropt = quant_opt.optimize_rounding(
         "UNetSP", vs, np.asarray(x, np.float32), scales,
-        steps=20, lr=0.02, bf16_head=0.5,
+        steps=20, lr=0.02, bf16_head=head,
     )
     assert "d0.0" not in ropt  # bf16-served unit: no override
-    assert "d0.1" in ropt and "u3.1" in ropt
+    if head >= 1.0:
+        assert "d0.1" not in ropt  # whole block bf16
+    else:
+        assert "d0.1" in ropt
+    assert "u3.1" in ropt
     e_opt = err(ropt)
     assert e_opt <= e_rtn * 1.02, (e_rtn, e_opt)
 
