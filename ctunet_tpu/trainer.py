@@ -778,10 +778,12 @@ class Model:
                                 f"serving: calibrated {label} engine for "
                                 f"{shape}. note: int8 PTQ can flip"
                                 " boundary voxels on thin structures"
-                                " (measured flap-mask Dice 0.93-0.99 vs"
-                                " the bf16 engine's >=0.99, checkpoint-"
-                                "dependent; see PARITY.md) — serve bf16"
-                                " where mask parity matters."
+                                " (with adaquant, the default: measured"
+                                " flap-mask Dice >=0.99 vs the bf16"
+                                " engine's ~0.996; plain PTQ 0.93-0.99,"
+                                " checkpoint-dependent — PARITY.md)."
+                                " Serve bf16 where exact mask parity"
+                                " matters."
                             )
                             break
                         except (ValueError, KeyError, AssertionError) as e:

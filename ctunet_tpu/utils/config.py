@@ -81,19 +81,23 @@ def default_params() -> Dict[str, Any]:
                                       # (PTQ; calibrates on the first test
                                       # volume, falls back to bf16 engine)
         "int8_calib_quantile": 1.0,   # <1: clipped (quantile) calibration
-        "int8_bf16_tail": 1,          # final decoder blocks served bf16
-                                      # inside the int8 chain (PTQ mask
-                                      # parity; 0 = fully int8, .5 = half
-                                      # block: only the last unit + head)
+        "int8_bf16_tail": 0,          # final decoder blocks served bf16
+                                      # inside the int8 chain (0 = fully
+                                      # int8, .5 = half block: last unit +
+                                      # head). Measured FLAT on mask
+                                      # parity (PARITY.json tail columns)
+                                      # — adaquant is what recovers it
         "int8_bf16_head": 0,          # leading ENCODER blocks served bf16
                                       # (PTQ parity: the sensitivity sweep
                                       # pins the loss on the first block's
                                       # activation quantization; .5 = only
                                       # the block's first unit)
-        "int8_adaquant": False,       # calibration-time weight-rounding
-                                      # optimization (quant_opt): recovers
-                                      # int8 PTQ mask parity at zero
-                                      # serving cost; adds ~1 min to the
+        "int8_adaquant": True,        # calibration-time weight-rounding
+                                      # optimization (quant_opt): the one
+                                      # measured lever that brings int8
+                                      # flap-mask parity >= 0.99 at FULL
+                                      # int8 speed (PARITY.json aq
+                                      # columns); adds ~1 min to the
                                       # first int8 build per shape
         "int8_adaquant_steps": 250,   # Adam steps per conv unit
         "int8_learn_scales": False,   # with int8_adaquant: also refine
