@@ -66,7 +66,8 @@ def _np(x) -> np.ndarray:
 class _FusedUnit:
     """One Conv+BN+ReLU unit: packed weights prepared at build time."""
 
-    def __init__(self, unit_vars, unit_stats, interpret: bool):
+    def __init__(self, unit_vars, unit_stats, interpret: bool,
+                 sparse: int = 0):
         w = _np(unit_vars["conv"]["kernel"])  # (3,3,3,Cin,Cout)
         conv_bias = (
             _np(unit_vars["conv"]["bias"])
@@ -86,6 +87,7 @@ class _FusedUnit:
         self.cin = w.shape[3]
         self.cout = w.shape[4]
         self.interpret = interpret
+        self.sparse = sparse
         self._packed: Dict[Any, Any] = {}
 
     def _aug(self, ones_in: bool, ones_out: bool):
@@ -143,7 +145,7 @@ class _FusedUnit:
             pw, pb = self._get_packed(pack, ones_in, ones_out)
             return pc.conv3d_chain(
                 xc, pw, pb, hh, wp, relu=True, interpret=self.interpret,
-                out_dtype=xc.dtype,
+                out_dtype=xc.dtype, sparse_gh=self.sparse,
             )
         except (ValueError, AssertionError):
             cin = self.cin + (1 if ones_in else 0)
@@ -244,6 +246,7 @@ def build_predict(
     interpret: bool = False,
     halo_fn=None,
     jit: bool = True,
+    sparse: int = 0,
 ):
     """Build a jitted ``predict(images)`` for (B, D, H, W, C) inputs.
 
@@ -253,6 +256,10 @@ def build_predict(
     ``halo_fn``: optional hook applied to every produced chained tensor —
     used by :func:`build_sharded_predict` to refresh depth-halo planes from
     neighbor shards over ICI when one volume is sharded across chips.
+
+    ``sparse``: constant-region short-circuit group height for the chain
+    convs (0 off, -1 auto) — bit-exact skip of row-constant groups; see
+    ``ops/pallas/conv3d._chain_kernel_ring``.
     """
     cfg = ENGINE_CONFIGS[model_class]
     if cfg["family"] == "legacy":
@@ -267,7 +274,7 @@ def build_predict(
         [
             _FusedUnit(
                 params[f"d{i}"][f"unit{j}"], stats[f"d{i}"][f"unit{j}"],
-                interpret,
+                interpret, sparse=sparse,
             )
             for j in range(2)
         ]
@@ -277,7 +284,7 @@ def build_predict(
         [
             _FusedUnit(
                 params[f"u{i}"][f"unit{j}"], stats[f"u{i}"][f"unit{j}"],
-                interpret,
+                interpret, sparse=sparse,
             )
             for j in range(2)
         ]

@@ -231,6 +231,7 @@ def build_predict_q(
     round_opt: Optional[Dict[str, Dict[str, np.ndarray]]] = None,
     export_scales: Optional[Dict[str, Any]] = None,
     import_scales: Optional[Dict[str, Any]] = None,
+    sparse: int = 0,
 ):
     """Build a jitted int8 ``predict(images)`` for (B, D, H, W, C) inputs.
 
@@ -306,13 +307,15 @@ def build_predict_q(
 
     d_units = [
         [engine._FusedUnit(params[f"d{i}"][f"unit{j}"],
-                           stats[f"d{i}"][f"unit{j}"], interpret)
+                           stats[f"d{i}"][f"unit{j}"], interpret,
+                           sparse=sparse)
          for j in range(2)]
         for i in range(n_blocks)
     ]
     u_units = [
         [engine._FusedUnit(params[f"u{i}"][f"unit{j}"],
-                           stats[f"u{i}"][f"unit{j}"], interpret)
+                           stats[f"u{i}"][f"unit{j}"], interpret,
+                           sparse=sparse)
          for j in range(2)]
         for i in range(n_blocks)
     ]
@@ -631,7 +634,8 @@ def build_predict_q(
                 else:
                     pw, ps, pb = enc_q[i][j]
                     xc = pc.conv3d_chain_q(xc, pw, ps, pb, dh_, dwp,
-                                           interpret=interpret, zp=True)
+                                           interpret=interpret, zp=True,
+                                           sparse_gh=sparse)
                 t += 1
                 if t == head_units and j == 0:
                     # mid-block bf16 -> int8 switch: one per-lane affine
@@ -711,7 +715,7 @@ def build_predict_q(
                     pw1, ps1, pb1 = q1
                     a_chain = pc.conv3d_chain_q(
                         a_chain, pw1, ps1, pb1, dh_, dwp,
-                        interpret=interpret, zp=True,
+                        interpret=interpret, zp=True, sparse_gh=sparse,
                     )
                 else:
                     # HALF tail: dequant the int8 upconv output and run

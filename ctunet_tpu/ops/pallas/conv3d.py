@@ -461,6 +461,7 @@ def conv3d_chain(
     interpret: bool = False,
     out_dtype=jnp.bfloat16,
     ring: bool = True,
+    sparse_gh: Optional[int] = None,
 ) -> jax.Array:
     """Fused Conv3D(k=3, SAME)+bias+ReLU, chained-flat in AND out.
 
@@ -471,6 +472,11 @@ def conv3d_chain(
         plane window DMA'd once, prefetched a step ahead) and double-
         buffered output DMAs; ``False`` = the simpler 3-plane-slab form
         (re-reads input 3x in z, serial DMAs).
+    :param sparse_gh: constant-region short-circuit group height (ring form
+        only): 0/None = off, -1 = auto (largest divisor of the h-tile with
+        ~<=512-row groups), else an explicit divisor of the h-tile. Empty
+        row-groups skip their matmuls exactly (see
+        :func:`_chain_kernel_ring`).
     :returns: (D+2, (H+2)*wpad, Cout_p) chained layout, borders zeroed.
     """
     dp2, rows, cin_p = x.shape
@@ -498,6 +504,8 @@ def conv3d_chain(
         wp=wp, wpad=wpad, ht=ht, n_h=n_h, hh=hh, d=d,
     )
     if ring:
+        gh = _resolve_sparse_gh(sparse_gh, ht, wpad)
+        common["gh"] = gh
         kern = functools.partial(_chain_kernel_ring, **common)
         grid = (n_h, d)
         scratch = [
@@ -536,6 +544,30 @@ def conv3d_chain(
     )(x, packed_w.astype(x.dtype), packed_b)
 
 
+def _resolve_sparse_gh(sparse_gh: Optional[int], ht: int, wpad: int) -> int:
+    """Resolve the short-circuit group height: 0/None off, -1 auto, else an
+    explicit divisor of ``ht`` (``ht`` itself = tile-level skip).
+
+    MEASURED NET LOSS at every granularity on v5e hardware — keep OFF for
+    production (see BASELINE.md "Constant-region short-circuit"):
+    fine groups (gh=19, 52% skip rate on a real skull) lose to per-group
+    scalar-branch stalls + MXU fill/drain on the tiny rep-row matmuls;
+    tile-level (auto, 13.8% skip rate) loses because the row-constancy
+    check itself re-reads the whole 3-plane slab through the VPU
+    (bf16 66.3 -> 68.0 ms/volume, int8 44.5 -> 48.4 on the 224x304x304
+    headline config; identical on dense noise). Retained as a bit-exact,
+    tested experiment (tests/test_sparse_chain.py).
+
+    Auto picks TILE-level (gh = ht): one data-dependent branch per grid
+    step, the cheaper of the measured shapes."""
+    if not sparse_gh:
+        return 0
+    if sparse_gh > 0:
+        assert ht % sparse_gh == 0, (ht, sparse_gh)
+        return sparse_gh
+    return ht
+
+
 def _pick_chain_h_tile(hh: int, wpad: int, cin_p: int, cout_p: int,
                        vmem_budget: int = 12 * 2**20,
                        ring: bool = True) -> int:
@@ -557,12 +589,26 @@ def _pick_chain_h_tile(hh: int, wpad: int, cin_p: int, cout_p: int,
 
 def _chain_kernel_ring(x_hbm, w_ref, b_ref, out_hbm, slab, acc, outbuf, zbuf,
                        sem_in, sem_out, sem_z, *, taps, rout, dma_rows, relu,
-                       wp, wpad, ht, n_h, hh, d):
+                       wp, wpad, ht, n_h, hh, d, gh=0):
     """Ring-cached, double-buffered chain conv (grid (n_h, d), z innermost).
 
     A 4-slot plane ring means each input plane's row window is DMA'd ONCE
     per h-tile (the 3-plane slab form re-read everything 3x), prefetched one
     z ahead of use; output DMAs double-buffer against compute.
+
+    ``gh`` > 0 enables the **constant-region short-circuit**: the h-tile is
+    processed in groups of ``gh`` output rows, and a group whose 3-plane
+    input window is ROW-CONSTANT (every H-row of the window identical —
+    true wherever the volume is empty/far from any foreground, ~half of a
+    CT skull at this granularity) computes only its FIRST output row and
+    broadcasts it, skipping (gh-1)/gh of the 27 tap matmuls. Exact by
+    construction: per-row MXU dot results are independent of the other
+    rows, the first row is computed with real tap reads, and every other
+    row of a row-constant window reads bit-identical operands (the one
+    cross-row wrap column any row sees outside its 3 rows is a W-pad
+    column, row-constant whenever the check passes). Volume borders fail
+    the check (zero halo rows differ from the interior constant) and take
+    the full path, as does any group containing foreground.
     """
     h = pl.program_id(0)
     z = pl.program_id(1)
@@ -645,21 +691,68 @@ def _chain_kernel_ring(x_hbm, w_ref, b_ref, out_hbm, slab, acc, outbuf, zbuf,
     def _reclaim():
         _out_copy(par).wait()
 
-    acc[0] = jnp.zeros_like(acc[0])
-    acc[1] = jnp.zeros_like(acc[1])
-    for i, (dz, off) in enumerate(taps):
-        xs = slab[(z + dz) % 4, pl.ds(off, rout), :]
-        dres = jax.lax.dot_general(
-            xs, w_ref[i], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc[i % 2] += dres
-    res = acc[0] + acc[1] + b_ref[0][None, :]
-    if relu:
-        res = jnp.maximum(res, 0.0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (rout, 1), 0) % wpad
-    res = jnp.where(col < wp, res, 0.0)
-    outbuf[par] = res.astype(outbuf.dtype)
+    def _epilogue(a, nrows):
+        res = a + b_ref[0][None, :]
+        if relu:
+            res = jnp.maximum(res, 0.0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (nrows, 1), 0) % wpad
+        return jnp.where(col < wp, res, 0.0)
+
+    def _taps(g0, nrows):
+        a0 = a1 = None
+        for i, (dz, off) in enumerate(taps):
+            xs = slab[(z + dz) % 4, pl.ds(off + g0, nrows), :]
+            dres = jax.lax.dot_general(
+                xs, w_ref[i], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if i % 2 == 0:
+                a0 = dres if a0 is None else a0 + dres
+            else:
+                a1 = dres if a1 is None else a1 + dres
+        return a0 + a1
+
+    if not gh:
+        acc[0] = jnp.zeros_like(acc[0])
+        acc[1] = jnp.zeros_like(acc[1])
+        for i, (dz, off) in enumerate(taps):
+            xs = slab[(z + dz) % 4, pl.ds(off, rout), :]
+            dres = jax.lax.dot_general(
+                xs, w_ref[i], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc[i % 2] += dres
+        outbuf[par] = _epilogue(acc[0] + acc[1], rout).astype(outbuf.dtype)
+    else:
+        for g in range(ht // gh):
+            g0 = g * gh * wpad
+            grows = gh * wpad
+            # row-constancy as a float mismatch reduction: Mosaic can't
+            # relayout i1 vectors for an all() scalar reduce, but an f32
+            # max-of-abs-diff lowers cleanly; bf16 -> f32 is exact, so
+            # mism == 0 <=> every H-row of the window is bit-identical
+            # (NaN activations make mism NaN -> full path, still exact)
+            mism = None
+            for dz in range(3):
+                w = slab[
+                    (z + dz) % 4, pl.ds(8 + g0, (gh + 2) * wpad), :
+                ].astype(jnp.float32)
+                dmax = jnp.max(jnp.abs(w[wpad:] - w[:-wpad]))
+                mism = dmax if mism is None else jnp.maximum(mism, dmax)
+            is_const = mism == 0.0
+
+            @pl.when(is_const)
+            def _const(g0=g0, grows=grows):
+                row = _epilogue(_taps(g0, wpad), wpad)
+                outbuf[par, pl.ds(g0, grows)] = jnp.broadcast_to(
+                    row[None], (gh, wpad, row.shape[-1])
+                ).reshape(grows, -1).astype(outbuf.dtype)
+
+            @pl.when(jnp.logical_not(is_const))
+            def _full(g0=g0, grows=grows):
+                outbuf[par, pl.ds(g0, grows)] = _epilogue(
+                    _taps(g0, grows), grows
+                ).astype(outbuf.dtype)
     _out_copy(par).start()
 
     @pl.when(jnp.logical_and(h == n_h - 1, z == d - 1))
@@ -682,8 +775,12 @@ def _chain_kernel_ring(x_hbm, w_ref, b_ref, out_hbm, slab, acc, outbuf, zbuf,
 
 def _chain_kernel_ring_q(x_hbm, w_ref, s_ref, b_ref, out_hbm, slab, acc,
                          outbuf, zbuf, sem_in, sem_out, sem_z, *, taps, rout,
-                         dma_rows, relu, wp, wpad, ht, n_h, hh, d, zp):
+                         dma_rows, relu, wp, wpad, ht, n_h, hh, d, zp, gh=0):
     """int8 variant of :func:`_chain_kernel_ring` (quantized serving path).
+
+    ``gh``: constant-region short-circuit group height (see the bf16
+    kernel's docstring) — int8 equality makes the row-constancy check
+    exact by definition.
 
     ``zp``: zero-point mode — stored q = a/s - 128 so post-ReLU
     activations use all 255 levels of the s8 range instead of [0, 127]
@@ -770,30 +867,75 @@ def _chain_kernel_ring_q(x_hbm, w_ref, s_ref, b_ref, out_hbm, slab, acc,
     def _reclaim():
         _out_copy(par).wait()
 
-    acc[0] = jnp.zeros_like(acc[0])
-    acc[1] = jnp.zeros_like(acc[1])
-    for i, (dz, off) in enumerate(taps):
-        xs = slab[(z + dz) % 4, pl.ds(off, rout), :]
-        dres = jax.lax.dot_general(
-            xs, w_ref[i], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        acc[i % 2] += dres
-    res = (acc[0] + acc[1]).astype(jnp.float32)
-    res = res * s_ref[0][None, :] + b_ref[0][None, :]
-    if relu:
-        res = jnp.maximum(res, 0.0)
+    def _epilogue(a, nrows):
+        res = a.astype(jnp.float32)
+        res = res * s_ref[0][None, :] + b_ref[0][None, :]
+        if relu:
+            res = jnp.maximum(res, 0.0)
+        else:
+            # without the ReLU lower bound a large negative requantized
+            # value would wrap on the int8 cast below — clamp symmetrically
+            res = jnp.maximum(res, -127.0)
+        if zp:
+            res = jnp.minimum(res, 255.0) - 128.0
+        else:
+            res = jnp.minimum(res, 127.0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (nrows, 1), 0) % wpad
+        res = jnp.where(col < wp, res, -128.0 if zp else 0.0)
+        return jnp.round(res).astype(jnp.int8)
+
+    def _taps(g0, nrows):
+        a0 = a1 = None
+        for i, (dz, off) in enumerate(taps):
+            xs = slab[(z + dz) % 4, pl.ds(off + g0, nrows), :]
+            dres = jax.lax.dot_general(
+                xs, w_ref[i], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            if i % 2 == 0:
+                a0 = dres if a0 is None else a0 + dres
+            else:
+                a1 = dres if a1 is None else a1 + dres
+        return a0 + a1
+
+    if not gh:
+        acc[0] = jnp.zeros_like(acc[0])
+        acc[1] = jnp.zeros_like(acc[1])
+        for i, (dz, off) in enumerate(taps):
+            xs = slab[(z + dz) % 4, pl.ds(off, rout), :]
+            dres = jax.lax.dot_general(
+                xs, w_ref[i], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            acc[i % 2] += dres
+        outbuf[par] = _epilogue(acc[0] + acc[1], rout)
     else:
-        # without the ReLU lower bound a large negative requantized value
-        # would wrap on the int8 cast below — clamp symmetrically
-        res = jnp.maximum(res, -127.0)
-    if zp:
-        res = jnp.minimum(res, 255.0) - 128.0
-    else:
-        res = jnp.minimum(res, 127.0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (rout, 1), 0) % wpad
-    res = jnp.where(col < wp, res, -128.0 if zp else 0.0)
-    outbuf[par] = jnp.round(res).astype(jnp.int8)
+        for g in range(ht // gh):
+            g0 = g * gh * wpad
+            grows = gh * wpad
+            # i32 mismatch reduction instead of an i1 all() — see the
+            # bf16 kernel; int8 equality is exact in i32 subtraction
+            mism = None
+            for dz in range(3):
+                w = slab[
+                    (z + dz) % 4, pl.ds(8 + g0, (gh + 2) * wpad), :
+                ].astype(jnp.int32)
+                dmax = jnp.max(jnp.abs(w[wpad:] - w[:-wpad]))
+                mism = dmax if mism is None else jnp.maximum(mism, dmax)
+            is_const = mism == 0
+
+            @pl.when(is_const)
+            def _const(g0=g0, grows=grows):
+                row = _epilogue(_taps(g0, wpad), wpad)
+                outbuf[par, pl.ds(g0, grows)] = jnp.broadcast_to(
+                    row[None], (gh, wpad, row.shape[-1])
+                ).reshape(grows, -1)
+
+            @pl.when(jnp.logical_not(is_const))
+            def _full(g0=g0, grows=grows):
+                outbuf[par, pl.ds(g0, grows)] = _epilogue(
+                    _taps(g0, grows), grows
+                )
     _out_copy(par).start()
 
     @pl.when(jnp.logical_and(h == n_h - 1, z == d - 1))
@@ -816,6 +958,7 @@ def conv3d_chain_q(
     h_tile: Optional[int] = None,
     interpret: bool = False,
     zp: bool = False,
+    sparse_gh: Optional[int] = None,
 ) -> jax.Array:
     """Quantized chain conv: int8 in, int8 out, int32 MXU accumulation.
 
@@ -856,6 +999,7 @@ def conv3d_chain_q(
     kern = functools.partial(
         _chain_kernel_ring_q, taps=taps, rout=rout, dma_rows=dma_rows,
         relu=relu, wp=wp, wpad=wpad, ht=ht, n_h=n_h, hh=hh, d=d, zp=zp,
+        gh=_resolve_sparse_gh(sparse_gh, ht, wpad),
     )
     return pl.pallas_call(
         kern,
