@@ -114,10 +114,18 @@ class _FusedUnit:
         key = (pack, ones_in, ones_out)
         if key not in self._packed:
             w, scale, bias = self._aug(ones_in, ones_out)
-            self._packed[key] = (
-                jnp.asarray(pc.pack_weights(w, pack, scale)),
-                jnp.asarray(pc.pack_bias(bias, pack)),
-            )
+            # This fills lazily, possibly at first TRACE time (e.g. the
+            # engine predict traced inside an outer jit, as sliding-window
+            # patching does). Under JAX's stackless tracing jnp.asarray is
+            # STAGED there — caching the result would poison the cache
+            # with a trace-local tracer and crash the next trace with
+            # UnexpectedTracerError. Force compile-time eval so the cache
+            # always holds concrete, trace-reusable constants.
+            with jax.ensure_compile_time_eval():
+                self._packed[key] = (
+                    jnp.asarray(pc.pack_weights(w, pack, scale)),
+                    jnp.asarray(pc.pack_bias(bias, pack)),
+                )
         return self._packed[key]
 
     def __call__(self, x: jax.Array) -> jax.Array:

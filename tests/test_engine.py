@@ -113,3 +113,50 @@ def test_conv_transpose_helper_matches_flax(rng):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=1e-5
     )
+
+
+def test_get_packed_cache_is_concrete_across_traces(rng):
+    """_FusedUnit._get_packed fills lazily — possibly during a TRACE (the
+    engine predict traced inside an outer jit, as sliding-window patching
+    does). Under stackless tracing jnp.asarray stages there, so a naive
+    cache would hold a trace-local tracer and crash the NEXT outer jit
+    with UnexpectedTracerError (hit live: tools/bench_512.py --patch-only,
+    second variant). The cache must hold concrete arrays."""
+    from ctunet_tpu.engine import _FusedUnit
+
+    cin, cout = 2, 4
+    unit_vars = {
+        "conv": {
+            "kernel": rng.standard_normal((3, 3, 3, cin, cout)).astype(
+                np.float32
+            ),
+        },
+        "bn": {
+            "scale": np.ones(cout, np.float32),
+            "bias": np.zeros(cout, np.float32),
+        },
+    }
+    unit_stats = {
+        "bn": {
+            "mean": np.zeros(cout, np.float32),
+            "var": np.ones(cout, np.float32),
+        }
+    }
+    unit = _FusedUnit(unit_vars, unit_stats, interpret=True)
+
+    @jax.jit
+    def f1(x):
+        pw, pb = unit._get_packed(4)  # first fill happens INSIDE a trace
+        return jnp.sum(pw) + jnp.sum(pb) + x
+
+    @jax.jit
+    def f2(x):  # distinct jit: reuses the cache from f1's trace
+        pw, pb = unit._get_packed(4)
+        return jnp.sum(pw) * x
+
+    a = float(f1(0.0))
+    b = float(f2(1.0))  # raised UnexpectedTracerError before the fix
+    pw, pb = unit._packed[(4, False, False)]
+    assert not isinstance(pw, jax.core.Tracer)
+    assert not isinstance(pb, jax.core.Tracer)
+    np.testing.assert_allclose(b, a, rtol=1e-5)

@@ -90,40 +90,61 @@ def main() -> None:
 
     predict = engine.build_predict("UNetSPSmall", variables)
 
-    @jax.jit
-    def fwd_e(x):
-        return _sum(predict(x))
+    if "--patch-only" not in sys.argv:
+        @jax.jit
+        def fwd_e(x):
+            return _sum(predict(x))
 
-    timed(fwd_e, "engine_bf16")
+        timed(fwd_e, "engine_bf16")
 
-    from ctunet_tpu import engine_q
+        from ctunet_tpu import engine_q
 
-    predict_q = engine_q.build_predict_q("UNetSPSmall", variables, x[0])
+        predict_q = engine_q.build_predict_q("UNetSPSmall", variables, x[0])
 
-    @jax.jit
-    def fwd_q(x):
-        return _sum(predict_q(x))
+        @jax.jit
+        def fwd_q(x):
+            return _sum(predict_q(x))
 
-    timed(fwd_q, "engine_int8")
+        timed(fwd_q, "engine_int8")
 
-    if "--patch" in sys.argv:
+    if "--patch" in sys.argv or "--patch-only" in sys.argv:
         # sliding-window fallback modes (VERDICT r1 item 4): overlap and
-        # patch-batch sweep, patches served by the fused engine
+        # patch-batch sweep, patches served by the fused engine; plus the
+        # calibrated int8 engine at patch shape (central-patch calibration,
+        # same scheme as trainer._make_patch_predict)
+        from ctunet_tpu import engine_q
         from ctunet_tpu.ops.sliding_window import make_sliding_window_fn
 
         atlas = np.asarray(x[0, ..., 1], np.float32)
-        for overlap, kb in ((0.5, 1), (0.5, 4), (0.25, 1), (0.25, 4)):
+        ctr = [(s - 128) // 2 for s in SHAPE]
+        calib = x[0, ctr[0]:ctr[0] + 128, ctr[1]:ctr[1] + 128,
+                  ctr[2]:ctr[2] + 128, :]
+        predict_qp = engine_q.build_predict_q(
+            "UNetSPSmall", variables, calib
+        )
+        modes = (
+            ("bf16", 0.5, 1), ("bf16", 0.5, 4),
+            ("bf16", 0.25, 1), ("bf16", 0.25, 4),
+            ("int8", 0.25, 1), ("int8", 0.25, 4), ("int8", 0.5, 4),
+        )
+        for eng_kind, overlap, kb in modes:
+            fn = predict if eng_kind == "bf16" else predict_qp
             sw = make_sliding_window_fn(
                 model, patch_size=128, overlap=overlap, atlas=atlas,
                 compute_dtype=jnp.bfloat16,
-                apply_fn=lambda v, xx: predict(xx), patch_batch=kb,
+                apply_fn=lambda v, xx, fn=fn: fn(xx), patch_batch=kb,
             )
 
-            @jax.jit
+            # No outer jit: it would re-inline the closed-over atlas as a
+            # 235 MB HLO constant (sliding_window passes it as a jit ARG
+            # for exactly this reason). sw's inner _predict is jitted.
             def fwd_p(xx, sw=sw):
-                return _sum(sw(variables, xx[..., 0].astype(jnp.float32)))
+                out = sw(variables, xx[..., 0].astype(jnp.float32))
+                return _sum(out)
 
-            timed(fwd_p, f"patch_engine_ov{overlap}_k{kb}", n_iters=3)
+            timed(
+                fwd_p, f"patch_{eng_kind}_ov{overlap}_k{kb}", n_iters=3
+            )
 
 
 if __name__ == "__main__":
