@@ -340,6 +340,14 @@ def build_predict(
     def _get_upconv_mats(idx: int, pa: int):
         key = (idx, pa)
         if key not in _upconv_mats:
+            # Like _FusedUnit._get_packed: this may fill at TRACE time
+            # (first trace inside an outer jit); the cache must hold
+            # concrete constants, not trace-local tracers.
+            return _fill_upconv_mats(key, idx, pa)
+        return _upconv_mats[key]
+
+    def _fill_upconv_mats(key, idx: int, pa: int):
+        with jax.ensure_compile_time_eval():
             kk, bb = up_raw[idx]
             bcol = np.broadcast_to(
                 np.asarray(bb, np.float32)[None, None, None, :, None],
@@ -404,6 +412,12 @@ def build_predict(
     def _get_head_mats(pa: int, ca: int, cb: int):
         key = (pa, ca, cb)
         if key not in _head_mats:
+            # Trace-time fill (see _get_packed): keep the cache concrete.
+            return _fill_head_mats(key, pa, ca, cb)
+        return _head_mats[key]
+
+    def _fill_head_mats(key, pa: int, ca: int, cb: int):
+        with jax.ensure_compile_time_eval():
             eye = np.eye(pa, dtype=np.float32)
             lk = _np(lc_k)[0, 0, 0]  # (ca+cb, 3)
             zrow = np.zeros((1, lk.shape[1]), np.float32)
