@@ -33,13 +33,29 @@ class HostLoader:
         n_workers: int = 2,
         seed: int = 0,
         drop_remainder: bool = False,
+        process_id: int = 0,
+        num_processes: int = 1,
     ):
+        """``batch_size`` is the GLOBAL batch. With ``num_processes > 1``
+        (multi-host training, ``parallel/distributed.py``) every process
+        generates the SAME epoch index stream (shared ``seed``) and loads
+        only its rank's slice of each batch — process-rank data sharding;
+        ``parallel.distributed.put_global`` reassembles the global array.
+        Requires ``batch_size % num_processes == 0``; uneven tail batches
+        are skipped in that mode."""
         self.dataset = dataset
         self.batch_size = max(1, int(batch_size))
         self.shuffle = shuffle
         self.replacement = replacement
         self.n_workers = max(1, int(n_workers or 1))
         self.drop_remainder = drop_remainder
+        self.process_id = int(process_id)
+        self.num_processes = max(1, int(num_processes))
+        if self.batch_size % self.num_processes:
+            raise ValueError(
+                f"global batch {self.batch_size} must divide over "
+                f"{self.num_processes} processes"
+            )
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -74,6 +90,15 @@ class HostLoader:
         ]
         if self.drop_remainder:
             batches = [b for b in batches if len(b) == self.batch_size]
+        if self.num_processes > 1:
+            # process-rank slice of each GLOBAL batch (index stream is
+            # rank-invariant: same seed -> same permutation everywhere)
+            per = self.batch_size // self.num_processes
+            batches = [
+                b[self.process_id * per: (self.process_id + 1) * per]
+                for b in batches
+                if len(b) == self.batch_size
+            ]
 
         with cf.ThreadPoolExecutor(self.n_workers) as pool:
             pending = collections.deque()
@@ -175,8 +200,15 @@ def device_prefetch(iterator, depth: int = 2, sharding=None,
     import jax
 
     never_binary: set = set()
+    multiproc = jax.process_count() > 1
 
     def _put_raw(v):
+        if multiproc and sharding is not None:
+            # multi-host: v is this process's LOCAL shard of the global
+            # batch (HostLoader rank slice) — assemble the global array
+            from ..parallel.distributed import put_global
+
+            return put_global(sharding, v)
         return (
             jax.device_put(v, sharding) if sharding is not None
             else jax.device_put(v)
@@ -186,7 +218,7 @@ def device_prefetch(iterator, depth: int = 2, sharding=None,
         out = {}
         for k, v in batch.items():
             if isinstance(v, np.ndarray):
-                if pack_binary and k not in never_binary:
+                if pack_binary and k not in never_binary and not multiproc:
                     packed = put_packed_or_none(v, sharding)
                     if packed is not None:
                         out[k] = packed

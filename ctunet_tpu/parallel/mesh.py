@@ -73,6 +73,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def replicate_tree(tree, mesh: Mesh):
-    """Place every leaf replicated across the mesh."""
+    """Place every leaf replicated across the mesh.
+
+    Multi-process: ``jax.device_put`` onto a non-fully-addressable sharding
+    runs a cross-process ``assert_equal`` collective (a blocking rendezvous
+    that deadline-exceeds when ranks reach it at different times, e.g. one
+    rank still compiling); ``make_array_from_process_local_data`` places the
+    same replicated value with no collective — every rank holds identical
+    leaves by construction (same seed / same checkpoint).
+    """
     sh = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    if jax.process_count() > 1:
+        def _put(x):
+            return jax.make_array_from_process_local_data(
+                sh, np.asarray(x)
+            )
+    else:
+        def _put(x):
+            return jax.device_put(x, sh)
+    return jax.tree.map(_put, tree)

@@ -57,18 +57,19 @@ _POOL_MULTIPLE = {
 
 
 class _ScalarWriter:
-    """TensorBoard writer (torch SummaryWriter when available) + history."""
+    """TensorBoard scalar writer + in-memory history.
+
+    Uses the framework's own dependency-free tfevents writer
+    (``utils/tb_writer.py``) — no torch/tensorboard import needed at
+    runtime, so TB logging works on a bare TPU VM exactly like the
+    reference's ``SummaryWriter`` (``Model.py:138``). A failure to open
+    the log directory warns loudly instead of degrading silently."""
 
     def __init__(self, logdir: Optional[str]):
         self.history: Dict[str, list] = {}
-        self._tb = None
-        if logdir:
-            try:
-                from torch.utils.tensorboard import SummaryWriter
+        from .utils.tb_writer import make_writer
 
-                self._tb = SummaryWriter(logdir)
-            except Exception:
-                self._tb = None
+        self._tb = make_writer(logdir)
 
     def add_scalar(self, tag: str, value: float, step: int) -> None:
         self.history.setdefault(tag, []).append((step, float(value)))
@@ -110,6 +111,16 @@ class Model:
 
         self.cfg_path = cfg_file
         self.resolve_out_folder()
+
+        # Multi-host bring-up FIRST (before any device query): after it,
+        # jax.devices() is the GLOBAL device list and the jitted steps are
+        # the same SPMD programs — XLA reduces grads over ICI within a
+        # host's slice and DCN across hosts (parallel/distributed.py).
+        from .parallel.distributed import initialize_from_params
+
+        self.process_index, self.process_count = initialize_from_params(
+            self.params
+        )
 
         self.problem_handler = registry.get_problem(
             self.params["problem_handler"]
@@ -180,7 +191,13 @@ class Model:
         self._from_pairs = False
         self._rng_key = jax.random.key(int(self.params.get("seed") or 0))
 
-        self.writer = _ScalarWriter(self.params.get("tensorboard_run_path"))
+        # rank 0 owns TB events (other ranks keep the in-memory history
+        # for their console lines; scalars are identical across ranks —
+        # the loss is computed over the GLOBAL batch inside jit)
+        self.writer = _ScalarWriter(
+            self.params.get("tensorboard_run_path")
+            if self.process_index == 0 else None
+        )
 
         if self.params.get("train_flag") is True:
             self.train()
@@ -238,10 +255,15 @@ class Model:
     # ------------------------------------------------------------------
 
     def get_loader(self, dataset_class, dataset, batch_size=1, shuffle=True,
-                   n_workers=0, single_file=None):
+                   n_workers=0, single_file=None, rank_shard=True):
         """Build a HostLoader (ref ``Model.get_dataloader``,
-        ``Model.py:147-187``; sampling with replacement per quirk Q4)."""
+        ``Model.py:147-187``; sampling with replacement per quirk Q4).
+
+        ``rank_shard``: in multi-host runs, load only this process's
+        slice of each global batch (train/val paths; the test path loads
+        everything and runs on rank 0 only)."""
         ds = dataset_class(dataset, "", single_file=single_file)
+        nproc = self.process_count if rank_shard else 1
         return HostLoader(
             ds,
             batch_size=batch_size,
@@ -249,6 +271,8 @@ class Model:
             replacement=True,
             n_workers=n_workers or 2,
             seed=int(self.params.get("seed") or 0),
+            process_id=self.process_index if rank_shard else 0,
+            num_processes=nproc,
         )
 
     def load_datasets(self) -> None:
@@ -275,6 +299,7 @@ class Model:
                     batch_size=1,  # ref ``Model.py:221``
                     shuffle=False,
                     single_file=self.params.get("single_file"),
+                    rank_shard=False,  # test() runs whole on rank 0
                 )
 
     # ------------------------------------------------------------------
@@ -417,6 +442,14 @@ class Model:
             atlas=self._atlas, compute_dtype=compute_dtype,
             from_pairs=self._from_pairs, train_patch=train_patch,
         )
+        if self.process_count > 1:
+            # multi-host: compile-then-barrier so no rank hits the first
+            # collective while another is still compiling (Gloo context
+            # init has a hard ~30 s timeout; see parallel/distributed.py)
+            from .parallel.distributed import sync_compiled
+
+            train_step = sync_compiled(train_step, "train")
+            eval_step = sync_compiled(eval_step, "eval")
 
         print_params_dict(self.params)
 
@@ -454,6 +487,7 @@ class Model:
                     signal.signal(sig, h)
                 except ValueError:
                     pass
+            self.writer.close()
 
         self._variables = {
             "params": self.state.params,
@@ -575,6 +609,15 @@ class Model:
             }
             terms, (out, targets) = eval_step(self.state, dev_batch, key)
             self._accumulate(terms)
+            if want_hd and self.process_count > 1:
+                if not getattr(self, "_hd_mh_warned", False):
+                    self._hd_mh_warned = True
+                    print(
+                        "  note: save_hd_plots skipped in multi-host runs "
+                        "(host Hausdorff needs the full label maps on one "
+                        "host); on-device metrics are unaffected."
+                    )
+                want_hd = False
             if want_hd and hasattr(handler, "host_metrics"):
                 hm = handler.host_metrics(out, targets, self.params)
                 for k, v in hm.items():
@@ -608,38 +651,60 @@ class Model:
 
     def save_main_model(self, cfg_file=None, save_checkpoint=False) -> None:
         """Best-model overwrite + periodic checkpoints + ini snapshot
-        (ref ``Model.save_main_model``, ``Model.py:266-296``)."""
+        (ref ``Model.save_main_model``, ``Model.py:266-296``).
+
+        Multi-host: EVERY rank calls the orbax save — orbax's own
+        multihost protocol barriers all processes and lets only the
+        primary write array data; gating it to rank 0 deadlocks rank 0 in
+        orbax's ``sync_global_processes`` (measured: Gloo context timeout
+        in the 2-process test). The decision to save is rank-invariant
+        (losses are replicated scalars), and the workspace must be a
+        SHARED path in multi-host runs. Pure host-side extras (ini
+        snapshot, prints) stay rank-0-only."""
+        rank0 = getattr(self, "process_index", 0) == 0
         path = self.params["model_path"]
         dir_m, fname = os.path.split(path)
-        makedir(dir_m)
+        if rank0:
+            makedir(dir_m)
         if self.current_epoch == self.best_model["epoch"]:
             ckpt.save_checkpoint(
                 path, self.state,
                 extra={"epoch": self.current_epoch,
-                       "model_class": self.params["model_class"]},
+                       "model_class": self.params["model_class"]}
+                if rank0 else None,
             )
 
-        if cfg_file and self.current_epoch == 1:
+        if rank0 and cfg_file and self.current_epoch == 1:
             copyfile(cfg_file, path.replace(".ckpt", "_params.ini"))
 
         if save_checkpoint:
             dir_chk = os.path.join(dir_m, "checkpoints")
             new_sfx = f"_ep{self.current_epoch}.ckpt"
             chk_p = os.path.join(dir_chk, fname.replace(".ckpt", new_sfx))
-            makedir(dir_chk)
+            if rank0:
+                makedir(dir_chk)
             ckpt.save_checkpoint(
-                chk_p, self.state, extra={"epoch": self.current_epoch}
+                chk_p, self.state,
+                extra={"epoch": self.current_epoch} if rank0 else None,
             )
-            print("Checkpoint saved ({})".format(save_checkpoint))
+            if rank0:
+                print("Checkpoint saved ({})".format(save_checkpoint))
 
-        print("Model saved ({})".format(path))
+        if rank0:
+            print("Model saved ({})".format(path))
 
     # ------------------------------------------------------------------
     # Inference
     # ------------------------------------------------------------------
 
     def test(self) -> None:
-        """Prediction pass (ref ``Model.test``, ``Model.py:298-322``)."""
+        """Prediction pass (ref ``Model.test``, ``Model.py:298-322``).
+
+        Multi-host: runs on rank 0 only (predictions are host-written
+        files; the test loader is built UNsharded so rank 0 sees every
+        volume). Scale-out serving uses ``engine.build_dp_predict``."""
+        if getattr(self, "process_index", 0) != 0:
+            return
         if self.models["main"] is None and self.params.get("name"):
             self.initialize_models(load_out=not bool(self.state))
         elif self.models["main"] is None and self.params.get("resume_model"):

@@ -115,6 +115,15 @@ def default_params() -> Dict[str, Any]:
         "conv_impl": "xla",           # training conv: xla|xla_dw|pallas|chain
         "packed_train": False,        # packed-resident training graph
                                       # (models/packed_resident.py)
+        # multi-host (multi-process / DCN) runtime
+        # (parallel/distributed.py; ref ceiling is single-host
+        # nn.DataParallel, Model.py:481-486)
+        "distributed": False,         # jax.distributed.initialize at start
+        "dist_coordinator": "",       # "host:port" of process 0 (or env
+                                      # CTUNET_COORDINATOR; empty = JAX
+                                      # auto-discovery on TPU pods)
+        "dist_num_processes": 0,      # world size (or CTUNET_NUM_PROCESSES)
+        "dist_process_id": -1,        # this rank (or CTUNET_PROCESS_ID)
     }
 
 
