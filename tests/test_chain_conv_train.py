@@ -13,6 +13,9 @@ import pytest
 from ctunet_tpu.ops.chain_conv_train import conv3d_chain_train
 from ctunet_tpu.ops.packed_conv import choose_train_pack, packed_conv3d
 
+# heavyweight (CPU-interpret / e2e): full-suite lane only
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture
 def rng():

@@ -15,6 +15,9 @@ from ctunet_tpu.data import make_dataset, spherical_shell
 from ctunet_tpu.data.atlas import register_atlas
 from ctunet_tpu.utils import nifti
 
+# heavyweight (CPU-interpret / e2e): full-suite lane only
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def synth(tmp_path_factory):

@@ -8,6 +8,9 @@ import pytest
 from ctunet_tpu import engine
 from ctunet_tpu.models import build_model
 
+# heavyweight (CPU-interpret / e2e): full-suite lane only
+pytestmark = pytest.mark.slow
+
 
 def _variables(name, shape, in_ch, seed=0):
     m = build_model(name, compute_dtype="float32", use_checkpoint=False)

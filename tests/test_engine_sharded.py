@@ -14,6 +14,9 @@ from ctunet_tpu import engine
 from ctunet_tpu.models import build_model
 from ctunet_tpu.parallel import make_mesh
 
+# heavyweight (CPU-interpret / e2e): full-suite lane only
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("shards", [2])
 def test_sharded_engine_matches_single(rng, shards):

@@ -14,6 +14,9 @@ from ctunet_tpu import Model
 from ctunet_tpu.data import make_dataset, spherical_shell
 from ctunet_tpu.data.atlas import register_atlas
 
+# heavyweight (CPU-interpret / e2e): full-suite lane only
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def synth(tmp_path_factory):

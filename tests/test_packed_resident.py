@@ -13,6 +13,9 @@ import pytest
 from ctunet_tpu.models import build_model
 from ctunet_tpu.models.packed_resident import PackedResidentModel, supports
 
+# heavyweight (CPU-interpret / e2e): full-suite lane only
+pytestmark = pytest.mark.slow
+
 
 def _setup(model_class, shape, cin, seed=0):
     m = build_model(model_class, compute_dtype="float32",

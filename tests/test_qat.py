@@ -6,6 +6,10 @@ import numpy as np
 
 from ctunet_tpu.models import build_model
 from ctunet_tpu.ops.qat import QATModel, calibrate_unit_scales
+import pytest
+
+# heavyweight (CPU-interpret / e2e): full-suite lane only
+pytestmark = pytest.mark.slow
 
 
 def _setup(rng, shape=(16, 16, 32)):

@@ -13,6 +13,9 @@ import pytest
 
 from ctunet_tpu.ops.pallas import conv3d as pc
 
+# heavyweight (CPU-interpret / e2e): full-suite lane only
+pytestmark = pytest.mark.slow
+
 
 def _emulate_q(x_int, w_int, scale, bias, relu=True):
     """Float emulation of the quantized conv (exact for these magnitudes)."""

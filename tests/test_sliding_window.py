@@ -12,6 +12,9 @@ from ctunet_tpu.ops.sliding_window import (
     patch_starts,
 )
 
+# heavyweight (CPU-interpret / e2e): full-suite lane only
+pytestmark = pytest.mark.slow
+
 
 def test_patch_starts_cover_volume():
     s = patch_starts(100, 32, 16)

@@ -17,6 +17,9 @@ import pytest
 
 from ctunet_tpu.ops.pallas import conv3d as pc
 
+# heavyweight (CPU-interpret / e2e): full-suite lane only
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture
 def rng():

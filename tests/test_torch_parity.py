@@ -20,9 +20,13 @@ from ctunet_tpu.models.torch_port import port_state_dict
 
 _REF = "/root/reference/ctunet/pytorch/models.py"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.exists(_REF), reason="reference repo not mounted"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.exists(_REF), reason="reference repo not mounted"
+    ),
+    # heavyweight (loads torch + all variants): full-suite lane only
+    pytest.mark.slow,
+]
 
 
 @pytest.fixture(scope="module")

@@ -7,6 +7,9 @@ import pytest
 from ctunet_tpu.trainer import Model
 from ctunet_tpu.utils import default_params
 
+# heavyweight (CPU-interpret / e2e): full-suite lane only
+pytestmark = pytest.mark.slow
+
 
 def _mk(tmp_path, **over):
     p = default_params()

@@ -111,8 +111,14 @@ def main() -> None:
         # sliding-window fallback modes (VERDICT r1 item 4): overlap and
         # patch-batch sweep, patches served by the fused engine; plus the
         # calibrated int8 engine at patch shape (central-patch calibration,
-        # same scheme as trainer._make_patch_predict)
-        from ctunet_tpu import engine_q
+        # same scheme as trainer._make_patch_predict).
+        # Labels: round 2 renamed patch_engine_ov* -> patch_bf16_ov*/
+        # patch_int8_ov* (the engine kind is now explicit); BENCH rounds
+        # before that carry the old names for the same bf16 mode.
+        # NOTE (ADVICE r2): these int8 patch numbers are LATENCY-only —
+        # central-patch calibration can clip border patches; parity-grade
+        # int8 patch serving should calibrate over a sample of grid
+        # patches instead.
         from ctunet_tpu.ops.sliding_window import make_sliding_window_fn
 
         atlas = np.asarray(x[0, ..., 1], np.float32)
@@ -137,10 +143,14 @@ def main() -> None:
 
             # No outer jit: it would re-inline the closed-over atlas as a
             # 235 MB HLO constant (sliding_window passes it as a jit ARG
-            # for exactly this reason). sw's inner _predict is jitted.
+            # for exactly this reason). sw's inner _predict is jitted; the
+            # verification sum is jitted separately so the timed region
+            # isn't inflated by an op-by-op eager reduction (ADVICE r2).
+            _sum_j = jax.jit(_sum)
+
             def fwd_p(xx, sw=sw):
                 out = sw(variables, xx[..., 0].astype(jnp.float32))
-                return _sum(out)
+                return _sum_j(out)
 
             timed(
                 fwd_p, f"patch_{eng_kind}_ov{overlap}_k{kb}", n_iters=3
