@@ -128,6 +128,23 @@ class _FusedUnit:
                 )
         return self._packed[key]
 
+    def _get_packed_split(self, pack: int, ones_in: bool = False,
+                          ones_out: bool = False):
+        """Split-tap weight pack (``pc.pack_weights_split``): 9 main + 3
+        correction matrices — the dots-per-conv restructure that removes
+        the W-packing's structural-zero MACs (k=3 only)."""
+        key = (pack, ones_in, ones_out, "split")
+        if key not in self._packed:
+            w, scale, bias = self._aug(ones_in, ones_out)
+            with jax.ensure_compile_time_eval():
+                wm, wc = pc.pack_weights_split(w, pack, scale)
+                self._packed[key] = (
+                    jnp.asarray(wm),
+                    jnp.asarray(wc),
+                    jnp.asarray(pc.pack_bias(bias, pack)),
+                )
+        return self._packed[key]
+
     def __call__(self, x: jax.Array) -> jax.Array:
         ww = x.shape[2]
         try:
@@ -150,6 +167,16 @@ class _FusedUnit:
         when the kernel's tiling constraints don't hold for the shape.
         ``ones_in``/``ones_out``: the ones-channel convention (see _aug)."""
         try:
+            if self.k == 3 and not self.sparse:
+                # split-tap form: 12 MXU tile-rows per step instead of 27
+                # (bit-identical math, f32-accumulation order aside)
+                wm, wc, pb = self._get_packed_split(pack, ones_in, ones_out)
+                return pc.conv3d_chain_split(
+                    xc, wm, wc, pb, hh, wp, pack,
+                    self.cin + (1 if ones_in else 0),
+                    relu=True, interpret=self.interpret,
+                    out_dtype=xc.dtype,
+                )
             pw, pb = self._get_packed(pack, ones_in, ones_out)
             return pc.conv3d_chain(
                 xc, pw, pb, hh, wp, relu=True, interpret=self.interpret,
@@ -349,28 +376,24 @@ def build_predict(
     def _fill_upconv_mats(key, idx: int, pa: int):
         with jax.ensure_compile_time_eval():
             kk, bb = up_raw[idx]
-            bcol = np.broadcast_to(
-                np.asarray(bb, np.float32)[None, None, None, :, None],
-                kk.shape[:4] + (1,),
-            ).copy()
-            if idx == 0:
-                kT_aug = np.concatenate([kk, bcol], -1)
-                ci_split = None
-            else:
-                ca = u_units[idx - 1][1].cout
-                zcol = np.zeros_like(bcol)
-                kT_aug = np.concatenate(
-                    [kk[..., :ca], bcol, kk[..., ca:], zcol], -1
-                )
-                ci_split = ca + 1
+            ca = None if idx == 0 else u_units[idx - 1][1].cout
+            kT_aug, ci_split = uc.augment_upconv_kernel(kk, bb, ca)
             unit0 = u_units[idx][0]
             w0a, s0a, b0a = unit0._aug(False, True)
             R = uc.composite_response(kT_aug, w0a, s0a)
-            ma, mb = uc.build_upconv_matrices(R, pa, ci_split)
+            # split-tap form (8 main + 2 correction dots per parity pair
+            # instead of 24) — same restructure as _get_packed_split
+            sa, sb = uc.build_upconv_matrices_split(R, pa, ci_split)
+            cin_aug = kT_aug.shape[-1]
+            cw_a = cin_aug if ci_split is None else ci_split
+            cw_b = 0 if ci_split is None else cin_aug - ci_split
             _upconv_mats[key] = (
-                jnp.asarray(ma),
-                None if mb is None else jnp.asarray(mb),
+                (jnp.asarray(sa[0]), jnp.asarray(sa[1])),
+                None if sb is None else
+                (jnp.asarray(sb[0]), jnp.asarray(sb[1])),
                 jnp.asarray(uc.pack_out_bias(b0a, 2 * pa)),
+                cw_a,
+                cw_b,
             )
         return _upconv_mats[key]
 
@@ -555,11 +578,12 @@ def build_predict(
                 b[1] == ap and b[4] == dwp and b[3] == dh
             )
             if chainable:
-                ma, mb, pbias2 = _get_upconv_mats(idx, ap)
+                sa, sb, pbias2, cw_a, cw_b = _get_upconv_mats(idx, ap)
                 b_c = b[0] if b is not None else None
-                a_chain = H(uc.upconv_fused_chain(
-                    a_chain, ma, pbias2, dh, dwp,
-                    b_chain=b_c, mats_b=mb, interpret=interpret,
+                a_chain = H(uc.upconv_fused_chain_split(
+                    a_chain, sa, pbias2, dh, dwp, ap, cw_a,
+                    b_chain=b_c, split_b=sb, cw_b=cw_b,
+                    interpret=interpret,
                 ))
                 ap *= 2
                 dd, dh = dd * 2, dh * 2

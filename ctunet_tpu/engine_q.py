@@ -116,7 +116,8 @@ def _chan_scales(rec: np.ndarray, pack: int, cstride: int) -> np.ndarray:
 
 
 def _quant_conv(unit, s_in: np.ndarray, s_out: np.ndarray, pack: int,
-                override: Optional[Dict[str, np.ndarray]] = None):
+                override: Optional[Dict[str, np.ndarray]] = None,
+                split: bool = True):
     """int8 packed weights + requant scale/bias for one Conv+BN+ReLU unit.
 
     ``s_in``/``s_out`` are per-channel activation scales INCLUDING the ones
@@ -154,15 +155,24 @@ def _quant_conv(unit, s_in: np.ndarray, s_out: np.ndarray, pack: int,
     corr = 128.0 * q_w.sum(axis=(0, 1, 2, 3)) / k  # exact zp correction
     scale_ref = (1.0 / (k * s_out)).astype(np.float32)
     bias_ref = ((bias + corr) / s_out).astype(np.float32)
-    pw8 = jnp.asarray(pc.pack_weights(q_w, pack).astype(np.int8))
     ps = jnp.asarray(pc.pack_bias(scale_ref, pack))
     pb = jnp.asarray(pc.pack_bias(bias_ref, pack))
+    if split:
+        # split-tap form (9 main + 3 correction dots; see
+        # pc.pack_weights_split) — bit-identical int8 algebra, ~2x fewer
+        # MXU tile-rows per conv. The zp correction above sums the RAW
+        # quantized taps, so it is packing-invariant.
+        wm, wc = pc.pack_weights_split(q_w, pack)
+        return (jnp.asarray(wm.astype(np.int8)),
+                jnp.asarray(wc.astype(np.int8)), ps, pb)
+    pw8 = jnp.asarray(pc.pack_weights(q_w, pack).astype(np.int8))
     return pw8, ps, pb
 
 
 def _quant_upconv(up_raw, unit0, ca: Optional[int], s_a: np.ndarray,
                   s_b: Optional[np.ndarray], s_out: np.ndarray, pa: int,
-                  override: Optional[Dict[str, np.ndarray]] = None):
+                  override: Optional[Dict[str, np.ndarray]] = None,
+                  split: bool = True):
     """int8 composite upsample+conv matrices (mirrors
     ``engine._get_upconv_mats`` with quantization).
 
@@ -190,7 +200,6 @@ def _quant_upconv(up_raw, unit0, ca: Optional[int], s_a: np.ndarray,
         r_q[..., :co] = override["q"]
         k[:co] = override["k"]
         b0a[:co] = b0a[:co] + override["db"]
-    ma, mb = uc.build_upconv_matrices(r_q, pa, ci_split)
     scale_ref = (1.0 / (k * s_out)).astype(np.float32)
     # Zero-point correction per OUTPUT PARITY: input lanes hold
     # q = a/s_in - 128, so each output voxel owes 128 * sum(M_q)/k over
@@ -201,20 +210,42 @@ def _quant_upconv(up_raw, unit0, ca: Optional[int], s_a: np.ndarray,
     # voxel with a -128*sum(delta) offset). In requant units the
     # correction is 128 * colsum(M_q) * scale_ref, folded into a
     # (4, Cpo) bias — the kernel selects the row by output parity.
-    colsum_q = ma.sum(axis=(2, 3))  # (2, 2, Cpo), integer-valued
-    if mb is not None:
-        colsum_q = colsum_q + mb.sum(axis=(2, 3))
+    # Packing is a rearrangement of the same quantized taps, so the
+    # colsum is identical between the full and split forms per parity.
+    if split:
+        sa, sb = uc.build_upconv_matrices_split(r_q, pa, ci_split)
+        colsum_q = sa[0].sum(axis=(2, 3)) + sa[1].sum(axis=2)
+        if sb is not None:
+            colsum_q = colsum_q + sb[0].sum(axis=(2, 3)) + sb[1].sum(axis=2)
+    else:
+        ma, mb = uc.build_upconv_matrices(r_q, pa, ci_split)
+        colsum_q = ma.sum(axis=(2, 3))  # (2, 2, Cpo), integer-valued
+        if mb is not None:
+            colsum_q = colsum_q + mb.sum(axis=(2, 3))
     scale_lane = uc.pack_out_bias(scale_ref, 2 * pa)[0]
     base = uc.pack_out_bias((b0a / s_out).astype(np.float32), 2 * pa)[0]
     bias4 = np.stack([
         (base + 128.0 * colsum_q[a, b] * scale_lane).astype(np.float32)
         for a in range(2) for b in range(2)
     ])
+    s2 = jnp.asarray(uc.pack_out_bias(scale_ref, 2 * pa))
+    b4 = jnp.asarray(bias4)
+    if split:
+        cin_aug = kT_aug.shape[-1]
+        cw_a = cin_aug if ci_split is None else ci_split
+        cw_b = 0 if ci_split is None else cin_aug - ci_split
+        return (
+            (jnp.asarray(sa[0].astype(np.int8)),
+             jnp.asarray(sa[1].astype(np.int8))),
+            None if sb is None else
+            (jnp.asarray(sb[0].astype(np.int8)),
+             jnp.asarray(sb[1].astype(np.int8))),
+            s2, b4, cw_a, cw_b,
+        )
     return (
         jnp.asarray(ma.astype(np.int8)),
         None if mb is None else jnp.asarray(mb.astype(np.int8)),
-        jnp.asarray(uc.pack_out_bias(scale_ref, 2 * pa)),
-        jnp.asarray(bias4),
+        s2, b4,
     )
 
 
@@ -232,6 +263,7 @@ def build_predict_q(
     export_scales: Optional[Dict[str, Any]] = None,
     import_scales: Optional[Dict[str, Any]] = None,
     sparse: int = 0,
+    split_taps: bool = True,
 ):
     """Build a jitted int8 ``predict(images)`` for (B, D, H, W, C) inputs.
 
@@ -290,6 +322,9 @@ def build_predict_q(
     cfg = engine.ENGINE_CONFIGS[model_class]
     if cfg["family"] != "generic":
         raise ValueError("int8 engine supports the generic UNet family only")
+    # split-tap kernels (the default) have no constant-region short-circuit
+    # variant; the sparse experiment rides the full 27-tap form
+    use_split = split_taps and not sparse
     n_blocks = cfg["n_blocks"]
     tail_f = max(0.0, min(float(bf16_tail), float(n_blocks)))
     full_tail = int(tail_f)
@@ -428,13 +463,13 @@ def build_predict_q(
         s_u0[-1] = _Q1
         q0 = (None if 2 * i < head_units
               else _quant_conv(d_units[i][0], s_cur, s_u0, p,
-                               ropt.get(f"d{i}.0")))
+                               ropt.get(f"d{i}.0"), split=use_split))
         c1 = d_units[i][1].cout + 1
         s_u1 = tag_scales(f"d{i}.1", p, c1)
         s_u1[-1] = _Q1
         q1 = (None if 2 * i + 1 < head_units
               else _quant_conv(d_units[i][1], s_u0, s_u1, p,
-                               ropt.get(f"d{i}.1")))
+                               ropt.get(f"d{i}.1"), split=use_split))
         if export_scales is not None:
             export_scales[f"d{i}.0"] = (s_cur, s_u0)
             export_scales[f"d{i}.1"] = (s_u0, s_u1)
@@ -471,13 +506,13 @@ def build_predict_q(
         if idx < switch:
             qu = _quant_upconv(
                 up_raw[idx], u_units[idx][0], ca, s_a, s_b, s_up, pa,
-                ropt.get(f"u{idx}.0"),
+                ropt.get(f"u{idx}.0"), split=use_split,
             )
             if half_tail and idx == switch - 1:
                 q1 = None  # half tail: unit1 served bf16
             else:
                 q1 = _quant_conv(u_units[idx][1], s_up, s_u1, 2 * pa,
-                                 ropt.get(f"u{idx}.1"))
+                                 ropt.get(f"u{idx}.1"), split=use_split)
             dec_q.append((qu, q1))
         else:
             dec_q.append(None)  # served bf16 (mixed-precision tail)
@@ -486,31 +521,26 @@ def build_predict_q(
         assert cursor["i"] == len(records), (cursor["i"], len(records))
 
     # ---- bf16 tail assets: the bf16 engine's fused upconv matrices for
-    # the tail blocks (identical math to engine._get_upconv_mats)
+    # the tail blocks (identical math to engine._get_upconv_mats; split-
+    # tap form, matching the bf16 engine's default)
     bf16_up: Dict[int, Any] = {}
     for idx in range(switch, n_blocks):
         kk, bb = up_raw[idx]
-        bcol = np.broadcast_to(
-            np.asarray(bb, np.float32)[None, None, None, :, None],
-            kk.shape[:4] + (1,),
-        ).copy()
-        if idx == 0:
-            kT_aug = np.concatenate([kk, bcol], -1)
-            ci_split = None
-        else:
-            ca = u_units[idx - 1][1].cout
-            zcol = np.zeros_like(bcol)
-            kT_aug = np.concatenate(
-                [kk[..., :ca], bcol, kk[..., ca:], zcol], -1
-            )
-            ci_split = ca + 1
+        ca = None if idx == 0 else u_units[idx - 1][1].cout
+        kT_aug, ci_split = uc.augment_upconv_kernel(kk, bb, ca)
         w0a, s0a, b0a = u_units[idx][0]._aug(False, True)
         r = uc.composite_response(kT_aug, w0a, s0a)
-        ma, mb = uc.build_upconv_matrices(r, plan_dec[idx][1], ci_split)
+        sa, sb = uc.build_upconv_matrices_split(
+            r, plan_dec[idx][1], ci_split
+        )
+        cin_aug = kT_aug.shape[-1]
         bf16_up[idx] = (
-            jnp.asarray(ma),
-            None if mb is None else jnp.asarray(mb),
+            (jnp.asarray(sa[0]), jnp.asarray(sa[1])),
+            None if sb is None else (jnp.asarray(sb[0]),
+                                     jnp.asarray(sb[1])),
             jnp.asarray(uc.pack_out_bias(b0a, 2 * plan_dec[idx][1])),
+            cin_aug if ci_split is None else ci_split,
+            0 if ci_split is None else cin_aug - ci_split,
         )
 
     def _dequant_vec(s_chan: np.ndarray, pack: int, cp: int):
@@ -631,6 +661,13 @@ def build_predict_q(
                     xc = d_units[i][j].call_chain(
                         xc, p, dh_, dwp, ones_in=True, ones_out=True
                     )
+                elif use_split:
+                    wm, wc, ps, pb = enc_q[i][j]
+                    xc = pc.conv3d_chain_split(
+                        xc, wm, wc, pb, dh_, dwp, p,
+                        d_units[i][j].cin + 1, scale=ps, zp=True,
+                        interpret=interpret,
+                    )
                 else:
                     pw, ps, pb = enc_q[i][j]
                     xc = pc.conv3d_chain_q(xc, pw, ps, pb, dh_, dwp,
@@ -696,7 +733,7 @@ def build_predict_q(
                 )
                 ap, dwp = repack_to
             if idx < switch:
-                (ma, mb, s2, b2), q1 = dec_q[idx]
+                qu, q1 = dec_q[idx]
                 b_c = None if b is None else b[0]
                 if b_c is not None and b_c.dtype != jnp.int8:
                     # bf16-head skip feeding an int8 upconv: quantize at
@@ -704,14 +741,30 @@ def build_predict_q(
                     b_c = _to_int8(
                         b_c, _quant_vec(b_scale, b[1], b_c.shape[-1])
                     )
-                a_chain = uc.upconv_fused_chain(
-                    a_chain, ma, b2, dh_, dwp,
-                    b_chain=b_c,
-                    mats_b=mb, scale2=s2, interpret=interpret, zp=True,
-                )
+                if use_split:
+                    sa, sb, s2, b2, cw_a, cw_b = qu
+                    a_chain = uc.upconv_fused_chain_split(
+                        a_chain, sa, b2, dh_, dwp, plan_dec[idx][1], cw_a,
+                        b_chain=b_c, split_b=sb, cw_b=cw_b, scale2=s2,
+                        interpret=interpret, zp=True,
+                    )
+                else:
+                    ma, mb, s2, b2 = qu
+                    a_chain = uc.upconv_fused_chain(
+                        a_chain, ma, b2, dh_, dwp,
+                        b_chain=b_c,
+                        mats_b=mb, scale2=s2, interpret=interpret, zp=True,
+                    )
                 ap *= 2
                 dh_ *= 2
-                if q1 is not None:
+                if q1 is not None and use_split:
+                    wm1, wc1, ps1, pb1 = q1
+                    a_chain = pc.conv3d_chain_split(
+                        a_chain, wm1, wc1, pb1, dh_, dwp, ap,
+                        u_units[idx][1].cin + 1, scale=ps1, zp=True,
+                        interpret=interpret,
+                    )
+                elif q1 is not None:
                     pw1, ps1, pb1 = q1
                     a_chain = pc.conv3d_chain_q(
                         a_chain, pw1, ps1, pb1, dh_, dwp,
@@ -731,7 +784,7 @@ def build_predict_q(
                         ones_out=True,
                     )
             else:
-                ma, mb, pbias2 = bf16_up[idx]
+                sa, sb, pbias2, cw_a, cw_b = bf16_up[idx]
                 b_c = None
                 if b is not None and b[0].dtype != jnp.int8:
                     b_c = b[0]  # bf16-head skip: already float
@@ -740,9 +793,10 @@ def build_predict_q(
                     b_c = (
                         b[0].astype(jnp.float32) * bv + boff
                     ).astype(compute_dtype)
-                a_chain = uc.upconv_fused_chain(
-                    a_chain, ma, pbias2, dh_, dwp,
-                    b_chain=b_c, mats_b=mb, interpret=interpret,
+                a_chain = uc.upconv_fused_chain_split(
+                    a_chain, sa, pbias2, dh_, dwp, plan_dec[idx][1], cw_a,
+                    b_chain=b_c, split_b=sb, cw_b=cw_b,
+                    interpret=interpret,
                 )
                 ap *= 2
                 dh_ *= 2

@@ -765,6 +765,732 @@ def _chain_kernel_ring(x_hbm, w_ref, b_ref, out_hbm, slab, acc, outbuf, zbuf,
 
 
 # ---------------------------------------------------------------------------
+# SPLIT-TAP chain conv: the round-3 restructure that removes the W-packed
+# scheme's structural-zero MACs (VERDICT r2 item 1).
+#
+# In the 27-tap form, each (dz, dy) pair costs THREE 128-wide matmuls
+# (t in {-1, 0, 1}), but the t = +-1 matrices carry exactly ONE nonzero
+# (Cin x Cout) block each — the W-block-boundary taps (s_out = 0 with
+# dx = 0, and s_out = pack-1 with dx = 2). At pack 16 / 7 channels the MXU
+# spends ~2/3 of its cycles multiplying structural zeros.
+#
+# The split form keeps the SAME chain layout and slab ring and reorganizes
+# the dots:
+#   - 9 MAIN dots (one per (dz, dy)): the t = 0 matrices, whose operand is
+#     the raw slab at row offset dy*wpad + 8 — no data movement at all;
+#   - 3 CORRECTION dots (one per dz): the 18 boundary blocks gathered into
+#     a (rout, 6*Cin)-lane buffer whose lanes stack (dy, side, channel).
+#     The buffer is built ONCE per arriving plane with 6 narrow lane-shift
+#     copies (left side: previous flat row's last packed position; right:
+#     next flat row's first — the same flat-row adjacency the t taps used).
+# Total MXU tile-rows per grid step: 9*ceil(p*Cin/128) + 3*ceil(6*Cin/128)
+# vs 27*ceil(p*Cin/128): 12 vs 27 at the full-res levels (2.25x), 15-18 at
+# the deep levels. Bit-exact in int8 (integer adds are associative); bf16
+# differs only in f32 accumulation order.
+# ---------------------------------------------------------------------------
+
+
+def pack_weights_split(
+    w: np.ndarray,
+    pack: int,
+    scale: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Split-tap packing of (3,3,3,Cin,Cout) conv weights (k=3 only).
+
+    Returns ``(main, corr)``:
+
+    - ``main`` (9, round_up(pack*Cin, 128), round_up(pack*Cout, 128)),
+      indexed ``dz*3 + dy``: the in-block taps — rows (s_in, ci) with
+      ``s_in = s_out + dx - 1`` in [0, pack).
+    - ``corr`` (3, round_up(6*Cin, 128), Cout_p), indexed ``dz``: the
+      W-block-boundary taps — rows ((dy, side, ci)) where side 0 holds
+      ``w[dz, dy, 0]`` feeding output position 0 (left neighbor lives in
+      the previous flat row) and side 1 holds ``w[dz, dy, 2]`` feeding
+      position pack-1 (next flat row). The kernel builds the matching
+      gathered operand with MXU permutation dots (:func:`corr_perms`).
+    """
+    assert w.shape[:3] == (3, 3, 3), f"split packing is k=3 only: {w.shape}"
+    cin, cout = w.shape[3], w.shape[4]
+    w = np.asarray(w, np.float32)
+    if scale is not None:
+        w = w * np.asarray(scale, np.float32)[None, None, None, None, :]
+    kp = _round_up(pack * cin, LANE)
+    kc = _round_up(6 * cin, LANE)
+    cout_p = _round_up(pack * cout, LANE)
+    main = np.zeros((9, kp, cout_p), np.float32)
+    corr = np.zeros((3, kc, cout_p), np.float32)
+    for dz in range(3):
+        for dy in range(3):
+            m = main[dz * 3 + dy]
+            for s in range(pack):
+                for dx in range(3):
+                    si = s + dx - 1
+                    if 0 <= si < pack:
+                        m[si * cin:(si + 1) * cin,
+                          s * cout:(s + 1) * cout] += w[dz, dy, dx]
+            corr[dz][(2 * dy) * cin:(2 * dy + 1) * cin,
+                     0:cout] += w[dz, dy, 0]
+            corr[dz][(2 * dy + 1) * cin:(2 * dy + 2) * cin,
+                     (pack - 1) * cout: pack * cout] += w[dz, dy, 2]
+    return main, corr
+
+
+def corr_perms(pack: int, cw: int, cin_p: int) -> np.ndarray:
+    """(6, cin_p, round_up(6*cw, 128)) 0/1 permutation matrices, indexed
+    ``2*dy + side``: the MXU boundary gather for the split kernel.
+
+    ``slab_row @ perms[2*dy+0]`` lifts the row's LAST packed position
+    (lanes (pack-1)*cw..pack*cw) into corr-buffer lanes (2*dy)*cw..;
+    ``perms[2*dy+1]`` lifts the FIRST position into (2*dy+1)*cw... —
+    applied to the slab at row offsets base(dy)-1 / base(dy)+1 they
+    assemble exactly the gathered boundary operand ``pack_weights_split``'s
+    ``corr`` matrices contract with. Permutations are exact in int32 (int8
+    path) and reproduce the operand bf16 values exactly (0/1 weights), so
+    the MXU build is bit-identical to a copy-based gather.
+    """
+    kc = _round_up(6 * cw, LANE)
+    p = np.zeros((6, cin_p, kc), np.float32)
+    for dy in range(3):
+        for c in range(cw):
+            p[2 * dy, (pack - 1) * cw + c, (2 * dy) * cw + c] = 1.0
+            p[2 * dy + 1, c, (2 * dy + 1) * cw + c] = 1.0
+    return p
+
+
+def _chain_kernel_ring_split(x_hbm, wm_ref, wc_ref, p_ref, s_ref, b_ref,
+                             out_hbm, slab, cbuf, acc, outbuf, zbuf, sem_in,
+                             sem_out, sem_z, *, rout, dma_rows, relu, wp,
+                             wpad, ht, n_h, hh, d, cw, pack, quant, zp):
+    """Split-tap ring kernel (grid (n_h, d), z innermost): 9 main dots on
+    the raw slab + 3 correction dots on the per-plane gathered boundary
+    buffer. ``quant`` selects int8/int32 MXU + requant epilogue; ``zp``
+    the zero-point variant (see ``_chain_kernel_ring_q``).
+
+    The boundary gather runs ON THE MXU: six permutation dots per
+    arriving plane (:func:`corr_perms`) lift the row-shifted edge
+    positions into the compact 6*cw-lane corr buffer — the round-3 fix
+    for the first split form, whose VPU gather (per-8-row lane-rotate
+    copies, ~3.5 us/plane) cost about what the dropped dots saved, and
+    for the DMA gather attempt, which Mosaic rejects (sub-128-lane DMA
+    slices). Bit-identical to a copy gather in both dtypes (0/1 weights).
+    18 MXU tile-row units per step (9 main + 6 build + 3 corr) vs the
+    full form's 27."""
+    h = pl.program_id(0)
+    z = pl.program_id(1)
+    h0 = h * ht
+    row_src = h0 * wpad
+    fill = (jnp.int8(-128) if zp else jnp.int8(0)) if quant else 0
+
+    @pl.when(jnp.logical_and(h == 0, z == 0))
+    def _init():
+        slab[:, 0:8, :] = jnp.full_like(slab[:, 0:8, :], fill)
+        zbuf[:] = jnp.full_like(zbuf, fill)
+
+    def _in_copy(q):
+        return pltpu.make_async_copy(
+            x_hbm.at[q, pl.ds(row_src, dma_rows)],
+            slab.at[q % 4, pl.ds(8, dma_rows)],
+            sem_in.at[q % 4],
+        )
+
+    gather_dt = jnp.int32 if quant else jnp.float32
+
+    def _build_c(q):
+        """MXU boundary gather of plane ``q`` (once per arrival; the
+        buffer is reused by the 3 grid steps the plane participates in).
+        Six permutation dots on row-shifted slab views; the int32/f32
+        result is cast back to the slab dtype exactly (0/1 weights)."""
+        g = None
+        for dy in range(3):
+            base = 8 + dy * wpad
+            for side, roff in ((0, -1), (1, 1)):
+                xs = slab[q % 4, pl.ds(base + roff, rout), :]
+                dres = jax.lax.dot_general(
+                    xs, p_ref[2 * dy + side], (((1,), (0,)), ((), ())),
+                    preferred_element_type=gather_dt,
+                )
+                g = dres if g is None else g + dres
+        cbuf[q % 4] = g.astype(cbuf.dtype)
+
+    @pl.when(z == 0)
+    def _prefill():
+        _in_copy(0).start()
+        _in_copy(1).start()
+        _in_copy(2).start()
+        _in_copy(0).wait()
+        _build_c(0)
+        _in_copy(1).wait()
+        _build_c(1)
+
+    @pl.when(z + 3 <= d + 1)
+    def _prefetch():
+        _in_copy(z + 3).start()
+
+    def _zero(plane, row0, nrows):
+        cp = pltpu.make_async_copy(
+            zbuf.at[pl.ds(0, nrows)],
+            out_hbm.at[plane, pl.ds(row0, nrows)], sem_z,
+        )
+        cp.start()
+        cp.wait()
+
+    @pl.when(h == 0)
+    def _top():
+        _zero(z + 1, 0, wpad)
+
+    @pl.when(h == n_h - 1)
+    def _bottom():
+        _zero(z + 1, (hh + 1) * wpad, wpad)
+
+    @pl.when(z == 0)
+    def _plane0():
+        _zero(0, h * rout, rout)
+
+    @pl.when(jnp.logical_and(z == 0, h == 0))
+    def _plane0_tail():
+        _zero(0, hh * wpad, 2 * wpad)
+
+    @pl.when(z == d - 1)
+    def _planeD():
+        _zero(d + 1, h * rout, rout)
+
+    @pl.when(jnp.logical_and(z == d - 1, h == 0))
+    def _planeD_tail():
+        _zero(d + 1, hh * wpad, 2 * wpad)
+
+    _in_copy(z + 2).wait()
+    _build_c(z + 2)
+
+    par = (h * d + z) % 2
+
+    def _out_copy(p):
+        return pltpu.make_async_copy(
+            outbuf.at[p],
+            out_hbm.at[z + 1, pl.ds((1 + h0) * wpad, rout)],
+            sem_out.at[p],
+        )
+
+    @pl.when(h * d + z >= 2)
+    def _reclaim():
+        _out_copy(par).wait()
+
+    acc_dt = jnp.int32 if quant else jnp.float32
+    acc[0] = jnp.zeros_like(acc[0])
+    acc[1] = jnp.zeros_like(acc[1])
+    n = 0
+    # all 9 main dots first: they overlap the in-flight boundary-gather
+    # DMAs of the plane that arrived this step
+    for dz in range(3):
+        for dy in range(3):
+            xs = slab[(z + dz) % 4, pl.ds(dy * wpad + 8, rout), :]
+            dres = jax.lax.dot_general(
+                xs, wm_ref[dz * 3 + dy], (((1,), (0,)), ((), ())),
+                preferred_element_type=acc_dt,
+            )
+            acc[n % 2] += dres
+            n += 1
+    for dz in range(3):
+        xc = cbuf[(z + dz) % 4, 0:rout, :]
+        dres = jax.lax.dot_general(
+            xc, wc_ref[dz], (((1,), (0,)), ((), ())),
+            preferred_element_type=acc_dt,
+        )
+        acc[n % 2] += dres
+        n += 1
+    col = jax.lax.broadcasted_iota(jnp.int32, (rout, 1), 0) % wpad
+    if quant:
+        res = (acc[0] + acc[1]).astype(jnp.float32)
+        res = res * s_ref[0][None, :] + b_ref[0][None, :]
+        if relu:
+            res = jnp.maximum(res, 0.0)
+        else:
+            res = jnp.maximum(res, -127.0)
+        if zp:
+            res = jnp.minimum(res, 255.0) - 128.0
+        else:
+            res = jnp.minimum(res, 127.0)
+        res = jnp.where(col < wp, res, -128.0 if zp else 0.0)
+        outbuf[par] = jnp.round(res).astype(jnp.int8)
+    else:
+        res = acc[0] + acc[1] + b_ref[0][None, :]
+        if relu:
+            res = jnp.maximum(res, 0.0)
+        res = jnp.where(col < wp, res, 0.0)
+        outbuf[par] = res.astype(outbuf.dtype)
+    _out_copy(par).start()
+
+    @pl.when(jnp.logical_and(h == n_h - 1, z == d - 1))
+    def _drain():
+        _out_copy(par).wait()
+
+        @pl.when(n_h * d >= 2)
+        def _drain_other():
+            _out_copy(1 - par).wait()
+
+
+def conv3d_chain_split(
+    x: jax.Array,
+    w_main: jax.Array,
+    w_corr: jax.Array,
+    packed_b: jax.Array,
+    hh: int,
+    wp: int,
+    pack: int,
+    cw: int,
+    relu: bool = True,
+    h_tile: Optional[int] = None,
+    interpret: bool = False,
+    out_dtype=jnp.bfloat16,
+    scale: Optional[jax.Array] = None,
+    zp: bool = False,
+) -> jax.Array:
+    """Split-tap fused Conv3D(k=3, SAME)+bias+ReLU, chained in AND out.
+
+    bf16 when ``scale`` is None; int8 (requant epilogue, optional ``zp``
+    zero-point mode) when ``scale``/``packed_b`` carry the quantization
+    algebra exactly as :func:`conv3d_chain_q` takes them.
+
+    :param x: (D+2, (H+2)*wpad, Cin_p) chained layout.
+    :param w_main: (9, Kp, Cout_p) from :func:`pack_weights_split`.
+    :param w_corr: (3, Kc, Cout_p) from :func:`pack_weights_split`.
+    :param pack: W packing factor of the layout; ``cw`` channels per packed
+        position (incl. any ones lane).
+    :returns: (D+2, (H+2)*wpad, Cout_p) chained layout, borders filled.
+    """
+    quant = scale is not None
+    if quant:
+        assert x.dtype == jnp.int8 and w_main.dtype == jnp.int8
+    assert not zp or quant
+    dp2, rows, cin_p = x.shape
+    d = dp2 - 2
+    wpad = rows // (hh + 2)
+    assert wpad * (hh + 2) == rows and wpad % 8 == 0, (wpad, hh, rows)
+    assert wp < wpad and pack * cw <= cin_p, (wp, wpad, pack, cw, cin_p)
+    kc_p = w_corr.shape[-2]
+    cout_p = w_main.shape[2]
+
+    if h_tile is None:
+        h_tile = _pick_chain_h_tile_split(
+            hh, wpad, cin_p, kc_p, cout_p, quant
+        )
+    assert hh % h_tile == 0
+    ht = h_tile
+    n_h = hh // ht
+    rout = ht * wpad
+    dma_rows = (ht + 2) * wpad
+    n_slab = dma_rows + 16
+    with jax.ensure_compile_time_eval():
+        perms = jnp.asarray(
+            corr_perms(pack, cw, cin_p).astype(
+                np.int8 if quant else np.float32
+            )
+        )
+
+    kern = functools.partial(
+        _chain_kernel_ring_split, rout=rout, dma_rows=dma_rows, relu=relu,
+        wp=wp, wpad=wpad, ht=ht, n_h=n_h, hh=hh, d=d, cw=cw, pack=pack,
+        quant=quant, zp=zp,
+    )
+    io_dt = jnp.int8 if quant else x.dtype
+    s_in = scale if quant else jnp.ones((1, cout_p), jnp.float32)
+    return pl.pallas_call(
+        kern,
+        grid=(n_h, d),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct(
+            (dp2, rows, cout_p), io_dt if quant else out_dtype
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((4, n_slab, cin_p), x.dtype),
+            pltpu.VMEM((4, rout, kc_p), x.dtype),
+            pltpu.VMEM(
+                (2, rout, cout_p), jnp.int32 if quant else jnp.float32
+            ),
+            pltpu.VMEM((2, rout, cout_p), io_dt if quant else out_dtype),
+            pltpu.VMEM(
+                (max(rout, 2 * wpad), cout_p), io_dt if quant else out_dtype
+            ),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x, w_main if quant else w_main.astype(x.dtype),
+      w_corr if quant else w_corr.astype(x.dtype),
+      perms, s_in, packed_b)
+
+
+def _pick_chain_h_tile_split(hh: int, wpad: int, cin_p: int, kc_p: int,
+                             cout_p: int, quant: bool,
+                             vmem_budget: int = 12 * 2**20) -> int:
+    """Largest divisor of H whose split-tap scratch set fits VMEM."""
+    b_in = 1 if quant else 2
+    b_out = 1 if quant else 2
+    for ht in sorted((t for t in range(1, hh + 1) if hh % t == 0),
+                     reverse=True):
+        rout = ht * wpad
+        need = (
+            4 * ((ht + 2) * wpad + 16) * cin_p * b_in   # slab ring
+            + 4 * rout * kc_p * b_in                     # corr ring
+            + 2 * rout * cout_p * 4                      # acc x2
+            + 3 * rout * cout_p * b_out                  # outbufs + zbuf
+        )
+        if need <= vmem_budget:
+            return ht
+    raise ValueError(f"no split chain H tile fits: H={hh}, wpad={wpad}")
+
+
+# ---------------------------------------------------------------------------
+# DMA-STACKED chain conv ("v3"): the VPU-add-bound fix.
+#
+# Measured on v5e (tools/_mb_conv.py): the int8 27-tap kernel runs at
+# ~8.25 MXU rows/cycle (69% of the 12 rows/cycle int8 nominal), and the
+# split-tap form (12 dots + 6 lane-rotating gather copies) is NOT faster —
+# the bottleneck is the VPU, not MXU tile-rows: every dot output costs an
+# (rout, 128) i32 accumulator add (~456 VPU cycles), 27 of them ~= 12.3k
+# cycles/step ~= the whole measured step time; the gather's lane rotates
+# cost about what the dropped dots saved.
+#
+# v3 removes VPU work instead of MXU work:
+# - the ring slot holds a DY-STACKED slab S[r, dy*128 + lane] =
+#   x[row + dy*wpad, lane], filled by THREE row-shifted DMAs per plane
+#   (no VPU copies; 3x HBM re-read of the plane, ~1.4 MB/step, hidden
+#   behind the prefetch);
+# - per grid step: 9 dots (3 dz x 3 row-offsets of S): offset 0 carries
+#   the in-block taps for all dy at once (K = 3*128), offsets -1/+1 carry
+#   the W-block-boundary taps (the previous/next flat row IS the W
+#   neighbor) — so 9 accumulator adds instead of 27 and ZERO gather
+#   copies. MXU tile-rows stay at 27/step; with the VPU off the critical
+#   path the MXU runs at its int8 rate.
+# ---------------------------------------------------------------------------
+
+
+def pack_weights_stacked(
+    w: np.ndarray,
+    pack: int,
+    scale: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """dy-stacked packing for the v3 kernel (k=3, ``pack*Cin <= 128``).
+
+    Returns (3, 3, 3*128, Cout_p) indexed [dz][off] where ``off`` is the
+    S-row offset + 1 (0 = previous flat row -> left-boundary taps dx=0;
+    1 = centered -> in-block taps; 2 = next row -> right-boundary dx=2),
+    and rows are (dy, s_in*Cin + ci) across the three 128-lane dy blocks.
+    """
+    assert w.shape[:3] == (3, 3, 3), f"k=3 only: {w.shape}"
+    cin, cout = w.shape[3], w.shape[4]
+    assert pack * cin <= LANE, (pack, cin)
+    w = np.asarray(w, np.float32)
+    if scale is not None:
+        w = w * np.asarray(scale, np.float32)[None, None, None, None, :]
+    cout_p = _round_up(pack * cout, LANE)
+    out = np.zeros((3, 3, 3 * LANE, cout_p), np.float32)
+    for dz in range(3):
+        for dy in range(3):
+            base = dy * LANE
+            # off=1 (centered): in-block taps
+            for s in range(pack):
+                for dx in range(3):
+                    si = s + dx - 1
+                    if 0 <= si < pack:
+                        out[dz, 1,
+                            base + si * cin: base + (si + 1) * cin,
+                            s * cout:(s + 1) * cout] += w[dz, dy, dx]
+            # off=0 (S row r-1 = previous flat row): left neighbor of
+            # position 0 is the previous group's LAST position
+            out[dz, 0,
+                base + (pack - 1) * cin: base + pack * cin,
+                0:cout] += w[dz, dy, 0]
+            # off=2 (next flat row): right neighbor of position pack-1
+            out[dz, 2, base: base + cin,
+                (pack - 1) * cout: pack * cout] += w[dz, dy, 2]
+    return out
+
+
+def _chain_kernel_ring_v3(x_hbm, w_ref, s_ref, b_ref, out_hbm, slab, acc,
+                          outbuf, zbuf, sem_in, sem_out, sem_z, *, rout,
+                          dma_rows, relu, wp, wpad, ht, n_h, hh, d, quant,
+                          zp):
+    """dy-stacked ring kernel (see module comment above): ring slots are
+    (rows, 3*128) filled by 3 row-shifted DMAs; 9 dots per step."""
+    h = pl.program_id(0)
+    z = pl.program_id(1)
+    h0 = h * ht
+    row_src = h0 * wpad
+    fill = (jnp.int8(-128) if zp else jnp.int8(0)) if quant else 0
+
+    @pl.when(jnp.logical_and(h == 0, z == 0))
+    def _init():
+        slab[:, 0:8, :] = jnp.full_like(slab[:, 0:8, :], fill)
+
+        zbuf[:] = jnp.full_like(zbuf, fill)
+
+    # Three row-shifted copies of the SAME plane fill the dy lane blocks.
+    # Mosaic requires 8-row-aligned DMA offsets, so the window starts a
+    # full vreg-row early: slab row s (s >= 8) of lane block dy holds
+    # x[row_src + dy*wpad - 8 + (s - 8)]; tap (dy, off in {0,1,2}) then
+    # reads slab rows [15 + off, + rout) — read offsets are unaligned,
+    # which IS supported (the 27-tap kernel reads at 7 + ...).
+    # At h == 0, dy == 0 the window's first 8 x rows don't exist: the DMA
+    # shifts one vreg-row down and rows [8, 16) take the fill explicitly
+    # (only row 15 = x[-1] is ever read — semantically a W-pad column,
+    # whose value IS fill).
+    def _in_copy(q, dy):
+        src0 = row_src + dy * wpad - 8
+        return pltpu.make_async_copy(
+            x_hbm.at[q, pl.ds(src0, dma_rows)],
+            slab.at[q % 4, pl.ds(8, dma_rows),
+                    pl.ds(dy * LANE, LANE)],
+            sem_in.at[(q % 4) * 3 + dy],
+        )
+
+    def _in_copy_first(q):
+        return pltpu.make_async_copy(
+            x_hbm.at[q, pl.ds(0, dma_rows - 8)],
+            slab.at[q % 4, pl.ds(16, dma_rows - 8), pl.ds(0, LANE)],
+            sem_in.at[(q % 4) * 3],
+        )
+
+    def _start(q):
+        @pl.when(h == 0)
+        def _a():
+            _in_copy_first(q).start()
+
+        @pl.when(h != 0)
+        def _b():
+            _in_copy(q, 0).start()
+
+        _in_copy(q, 1).start()
+        _in_copy(q, 2).start()
+
+    def _wait(q):
+        @pl.when(h == 0)
+        def _a():
+            _in_copy_first(q).wait()
+            slab[q % 4, 8:16, 0:LANE] = jnp.full_like(
+                slab[q % 4, 8:16, 0:LANE], fill
+            )
+
+        @pl.when(h != 0)
+        def _b():
+            _in_copy(q, 0).wait()
+
+        _in_copy(q, 1).wait()
+        _in_copy(q, 2).wait()
+
+    @pl.when(z == 0)
+    def _prefill():
+        _start(0)
+        _start(1)
+        _start(2)
+        _wait(0)
+        _wait(1)
+
+    @pl.when(z + 3 <= d + 1)
+    def _prefetch():
+        _start(z + 3)
+
+    def _zero(plane, row0, nrows):
+        cp = pltpu.make_async_copy(
+            zbuf.at[pl.ds(0, nrows)],
+            out_hbm.at[plane, pl.ds(row0, nrows)], sem_z,
+        )
+        cp.start()
+        cp.wait()
+
+    @pl.when(h == 0)
+    def _top():
+        _zero(z + 1, 0, wpad)
+
+    @pl.when(h == n_h - 1)
+    def _bottom():
+        _zero(z + 1, (hh + 1) * wpad, wpad)
+
+    @pl.when(z == 0)
+    def _plane0():
+        _zero(0, h * rout, rout)
+
+    @pl.when(jnp.logical_and(z == 0, h == 0))
+    def _plane0_tail():
+        _zero(0, hh * wpad, 2 * wpad)
+
+    @pl.when(z == d - 1)
+    def _planeD():
+        _zero(d + 1, h * rout, rout)
+
+    @pl.when(jnp.logical_and(z == d - 1, h == 0))
+    def _planeD_tail():
+        _zero(d + 1, hh * wpad, 2 * wpad)
+
+    _wait(z + 2)
+
+    par = (h * d + z) % 2
+
+    def _out_copy(p):
+        return pltpu.make_async_copy(
+            outbuf.at[p],
+            out_hbm.at[z + 1, pl.ds((1 + h0) * wpad, rout)],
+            sem_out.at[p],
+        )
+
+    @pl.when(h * d + z >= 2)
+    def _reclaim():
+        _out_copy(par).wait()
+
+    acc_dt = jnp.int32 if quant else jnp.float32
+    acc[0] = jnp.zeros_like(acc[0])
+    acc[1] = jnp.zeros_like(acc[1])
+    n = 0
+    for dz in range(3):
+        for off in range(3):
+            xs = slab[(z + dz) % 4, pl.ds(15 + off, rout), :]
+            dres = jax.lax.dot_general(
+                xs, w_ref[dz * 3 + off], (((1,), (0,)), ((), ())),
+                preferred_element_type=acc_dt,
+            )
+            acc[n % 2] += dres
+            n += 1
+    col = jax.lax.broadcasted_iota(jnp.int32, (rout, 1), 0) % wpad
+    if quant:
+        res = (acc[0] + acc[1]).astype(jnp.float32)
+        res = res * s_ref[0][None, :] + b_ref[0][None, :]
+        if relu:
+            res = jnp.maximum(res, 0.0)
+        else:
+            res = jnp.maximum(res, -127.0)
+        if zp:
+            res = jnp.minimum(res, 255.0) - 128.0
+        else:
+            res = jnp.minimum(res, 127.0)
+        res = jnp.where(col < wp, res, -128.0 if zp else 0.0)
+        outbuf[par] = jnp.round(res).astype(jnp.int8)
+    else:
+        res = acc[0] + acc[1] + b_ref[0][None, :]
+        if relu:
+            res = jnp.maximum(res, 0.0)
+        res = jnp.where(col < wp, res, 0.0)
+        outbuf[par] = res.astype(outbuf.dtype)
+    _out_copy(par).start()
+
+    @pl.when(jnp.logical_and(h == n_h - 1, z == d - 1))
+    def _drain():
+        _out_copy(par).wait()
+
+        @pl.when(n_h * d >= 2)
+        def _drain_other():
+            _out_copy(1 - par).wait()
+
+
+def conv3d_chain_v3(
+    x: jax.Array,
+    w_stacked: jax.Array,
+    packed_b: jax.Array,
+    hh: int,
+    wp: int,
+    relu: bool = True,
+    h_tile: Optional[int] = None,
+    interpret: bool = False,
+    out_dtype=jnp.bfloat16,
+    scale: Optional[jax.Array] = None,
+    zp: bool = False,
+) -> jax.Array:
+    """dy-stacked fused Conv3D(k=3, SAME)+bias+ReLU, chained in AND out.
+
+    Requires a single-lane-block layout (``pack * Cin <= 128``, i.e.
+    Cin_p == 128). bf16 when ``scale`` is None; int8 requant otherwise
+    (same contract as :func:`conv3d_chain_q`).
+
+    :param w_stacked: (3, 3, 384, Cout_p) from
+        :func:`pack_weights_stacked`.
+    """
+    quant = scale is not None
+    if quant:
+        assert x.dtype == jnp.int8 and w_stacked.dtype == jnp.int8
+    assert not zp or quant
+    dp2, rows, cin_p = x.shape
+    d = dp2 - 2
+    wpad = rows // (hh + 2)
+    assert wpad * (hh + 2) == rows and wpad % 8 == 0, (wpad, hh, rows)
+    assert wp < wpad and cin_p == LANE, (wp, wpad, cin_p)
+    cout_p = w_stacked.shape[-1]
+
+    if h_tile is None:
+        h_tile = _pick_chain_h_tile_v3(hh, wpad, cout_p, quant)
+    assert hh % h_tile == 0
+    ht = h_tile
+    n_h = hh // ht
+    rout = ht * wpad
+    # per-dy DMA window: slab rows [8, 8 + rout + 8) <- x rows
+    # [row_src + dy*wpad - 8, + rout + 8) — 8-aligned on both ends, and
+    # the top lands exactly on the plane's last row for the last tile
+    # (dy = 2). The one read past the window (off=2, j=rout-1, slab row
+    # rout+16) stays slack garbage and only feeds the always-masked
+    # w' = wpad-1 output row.
+    dma_rows = rout + 8
+    n_slab = dma_rows + 16
+
+    kern = functools.partial(
+        _chain_kernel_ring_v3, rout=rout, dma_rows=dma_rows, relu=relu,
+        wp=wp, wpad=wpad, ht=ht, n_h=n_h, hh=hh, d=d, quant=quant, zp=zp,
+    )
+    io_dt = jnp.int8 if quant else x.dtype
+    s_in = scale if quant else jnp.ones((1, cout_p), jnp.float32)
+    w_flat = w_stacked.reshape(9, 3 * LANE, cout_p)
+    return pl.pallas_call(
+        kern,
+        grid=(n_h, d),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct(
+            (dp2, rows, cout_p), io_dt if quant else out_dtype
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((4, n_slab, 3 * LANE), x.dtype),
+            pltpu.VMEM(
+                (2, rout, cout_p), jnp.int32 if quant else jnp.float32
+            ),
+            pltpu.VMEM((2, rout, cout_p), io_dt if quant else out_dtype),
+            pltpu.VMEM(
+                (max(rout, 2 * wpad), cout_p), io_dt if quant else out_dtype
+            ),
+            pltpu.SemaphoreType.DMA((12,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x, w_flat if quant else w_flat.astype(x.dtype), s_in, packed_b)
+
+
+def _pick_chain_h_tile_v3(hh: int, wpad: int, cout_p: int, quant: bool,
+                          vmem_budget: int = 12 * 2**20) -> int:
+    b_io = 1 if quant else 2
+    for ht in sorted((t for t in range(1, hh + 1) if hh % t == 0),
+                     reverse=True):
+        rout = ht * wpad
+        need = (
+            4 * (rout + 24) * 3 * LANE * b_io  # dy-stacked ring
+            + 2 * rout * cout_p * 4
+            + 3 * rout * cout_p * b_io
+        )
+        if need <= vmem_budget:
+            return ht
+    raise ValueError(f"no v3 chain H tile fits: H={hh}, wpad={wpad}")
+
+
+# ---------------------------------------------------------------------------
 # int8 chain conv: same ring-cached kernel with int8 operands on the MXU
 # (v5e: 394 int8 TOPS vs 197 bf16 TFLOP/s), int32 accumulation, and fused
 # dequant+requant — out_q = round(clamp(relu(acc * scale + bias), 0, 127)).
@@ -1049,8 +1775,9 @@ def _pick_chain_h_tile_q(hh: int, wpad: int, cin_p: int, cout_p: int,
 # ---------------------------------------------------------------------------
 
 
-def _pool_kernel(x_hbm, out_hbm, slab, outbuf, zbuf, sem_in, sem_out, sem_z,
-                 *, ht, wpad, pack, cout, n_h, hh2, d2, rin, rout, fill):
+def _pool_kernel(x_hbm, sel_e, sel_o, out_hbm, slab, outbuf, zbuf, sem_in,
+                 sem_out, sem_z, *, ht, wpad, pack, cout, n_h, hh2, d2, rin,
+                 rout, fill):
     z = pl.program_id(0)
     h = pl.program_id(1)
     y0 = h * ht  # output-row tile start (output H = hh2)
@@ -1100,23 +1827,29 @@ def _pool_kernel(x_hbm, out_hbm, slab, outbuf, zbuf, sem_in, sem_out, sem_z,
     cp_in.wait()
 
     # int8 vector max is unsupported by Mosaic (arith.maxsi on vector<i8>);
-    # widen to int32 for the reductions — exact, and the pool is DMA-bound.
+    # widen to int32 for the reductions — exact. D- and H-pair maxes are
+    # single full-width vector passes; the W-pair max + lane compaction
+    # runs as TWO 0/1 selection matmuls on the (otherwise idle) MXU —
+    # out = max(m @ Sel_even, m @ Sel_odd) — replacing the old per-row
+    # 8-lane-wide copy loop that left the VPU at 1/16 lane utilization
+    # (the pool was the 4th-hottest op of the int8 engine at 2.94 ms;
+    # this form is DMA-bound). Exact: the selected values round-trip
+    # through the matmul unchanged (int8 x {0,1} in int32; bf16 x 1.0).
     cdt = jnp.int32 if slab.dtype == jnp.int8 else slab.dtype
     m = jnp.maximum(slab[0].astype(cdt), slab[1].astype(cdt))  # D-pair
-    outbuf[:] = jnp.zeros_like(outbuf)
-    half = pack // 2
-    for yl in range(ht):  # H-pair (adjacent rows)
-        r = jnp.maximum(
-            m[(2 * yl) * wpad: (2 * yl + 1) * wpad],
-            m[(2 * yl + 1) * wpad: (2 * yl + 2) * wpad],
-        )
-        # W-pair: adjacent packed positions = adjacent lane blocks.
-        for s in range(half):
-            outbuf[yl * wpad: (yl + 1) * wpad,
-                   s * cout: (s + 1) * cout] = jnp.maximum(
-                r[:, (2 * s) * cout: (2 * s + 1) * cout],
-                r[:, (2 * s + 1) * cout: (2 * s + 2) * cout],
-            ).astype(outbuf.dtype)
+    cp = m.shape[-1]
+    m = jnp.max(m.reshape(ht, 2, wpad, cp), axis=1)            # H-pair
+    mq = m.reshape(rout, cp).astype(slab.dtype)
+    acc_dt = jnp.int32 if slab.dtype == jnp.int8 else jnp.float32
+    a = jax.lax.dot_general(
+        mq, sel_e[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=acc_dt,
+    )
+    b = jax.lax.dot_general(
+        mq, sel_o[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=acc_dt,
+    )
+    outbuf[:] = jnp.maximum(a, b).astype(outbuf.dtype)
 
     cp_out = pltpu.make_async_copy(
         outbuf, out_hbm.at[z + 1, pl.ds((1 + y0) * wpad, rout)], sem_out
@@ -1152,6 +1885,19 @@ def maxpool2_chain(
     rin = 2 * ht * wpad
     rout = ht * wpad
 
+    # 0/1 selection matrices for the W-pair max-compaction matmuls:
+    # Sel_even[2s*cout + c, s*cout + c] = 1, Sel_odd shifts by cout.
+    half = pack // 2
+    sel = np.zeros((2, cp_, cpo), np.float32)
+    for s in range(half):
+        for c in range(cout):
+            sel[0, (2 * s) * cout + c, s * cout + c] = 1.0
+            sel[1, (2 * s + 1) * cout + c, s * cout + c] = 1.0
+    with jax.ensure_compile_time_eval():
+        sel_j = jnp.asarray(
+            sel.astype(np.int8 if x.dtype == jnp.int8 else np.float32)
+        ).astype(x.dtype)
+
     kern = functools.partial(
         _pool_kernel, ht=ht, wpad=wpad, pack=pack, cout=cout, n_h=n_h,
         hh2=hh2, d2=d2, rin=rin, rout=rout, fill=fill,
@@ -1159,7 +1905,11 @@ def maxpool2_chain(
     return pl.pallas_call(
         kern,
         grid=(d2, n_h),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct(
             (d2 + 2, (hh2 + 2) * wpad, cpo), x.dtype
@@ -1173,7 +1923,7 @@ def maxpool2_chain(
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(x)
+    )(x, sel_j[0], sel_j[1])
 
 
 def _pick_pool_h_tile(hh2, wpad, cp_in, cpo, vmem_budget=8 * 2**20):

@@ -172,6 +172,620 @@ def build_upconv_matrices(
     return outs[0], (outs[1] if ci_split is not None else None)
 
 
+def build_upconv_matrices_split(
+    R: np.ndarray,
+    pin: int,
+    ci_split: Optional[int] = None,
+):
+    """Split-tap packing of the composite response (see
+    ``conv3d.pack_weights_split`` — same restructure for the fused
+    upsample+conv: the t = +-1 tap matrices of :func:`build_upconv_matrices`
+    carry exactly ONE nonzero block each, namely u_x = -1 (s_out = 0,
+    dx = 0) and u_x = pin (s_out = 2*pin - 1, dx = 1)).
+
+    :returns: per operand a tuple ``(main, corr)``:
+        ``main`` (2, 2, 4, round_up(pin*cw, 128), Cout_p) indexed
+        ``[alpha][beta][dz*2+dy]`` — in-block taps, operand = the raw
+        half-res slab at row offset (beta+dy)*wpad + 8;
+        ``corr`` (2, 2, round_up(8*cw, 128), Cout_p) — boundary taps,
+        rows ((dz, dy, side, c)), operand = the gathered boundary buffer
+        at row offset beta*wpad. Single-operand: second element is None.
+    """
+    cin, co = R.shape[3], R.shape[4]
+    pout = 2 * pin
+    splits = [(0, cin if ci_split is None else ci_split)]
+    if ci_split is not None:
+        splits.append((ci_split, cin - ci_split))
+    outs = []
+    for c0, cw in splits:
+        kp = _round_up(pin * cw, LANE)
+        kc = _round_up(8 * cw, LANE)
+        cout_p = _round_up(pout * co, LANE)
+        main = np.zeros((2, 2, 4, kp, cout_p), np.float32)
+        corr = np.zeros((2, 2, kc, cout_p), np.float32)
+        for alpha in range(2):
+            for beta in range(2):
+                for dz in range(2):
+                    for dy in range(2):
+                        rz = _r_index(alpha, dz)
+                        ry = _r_index(beta, dy)
+                        for s_out in range(pout):
+                            for dx in range(2):
+                                u_x = -(-s_out // 2) - 1 + dx
+                                rx = s_out - 2 * u_x + 1
+                                blk = R[rz, ry, rx, c0: c0 + cw, :]
+                                if 0 <= u_x < pin:
+                                    main[alpha, beta, dz * 2 + dy,
+                                         u_x * cw:(u_x + 1) * cw,
+                                         s_out * co:(s_out + 1) * co,
+                                         ] += blk
+                                else:
+                                    side = 0 if u_x == -1 else 1
+                                    i0 = (dz * 2 + dy) * 2 + side
+                                    corr[alpha, beta,
+                                         i0 * cw:(i0 + 1) * cw,
+                                         s_out * co:(s_out + 1) * co,
+                                         ] += blk
+        outs.append((main, corr))
+    return outs[0], (outs[1] if ci_split is not None else None)
+
+
+def _upconv_kernel_split(a_hbm, b_hbm, ma_ref, mb_ref, ca_ref, cb_ref,
+                         s_ref, bias_ref, out_hbm, slab_a, slab_b, cbuf_a,
+                         cbuf_b, acc, outbuf, zbuf, sem_a, sem_b, sem_out,
+                         sem_z, *, rout, dma_rows, wp, wpad, ht, n_h, hh2,
+                         d2, dual, quant, zp, cw_a, cw_b, pin):
+    """Split-tap variant of :func:`_upconv_kernel`: per beta, 4 main dots
+    per operand on the raw slab + 1 correction dot per operand on the
+    gathered boundary buffer (10 vs 24 MXU tile-row streams when both
+    operands fit one lane block)."""
+    z = pl.program_id(0)
+    h = pl.program_id(1)
+    h0 = h * ht
+    pin_plane = (z + 1) // 2
+    fill = jnp.int8(-128) if zp else 0
+    crows = rout + wpad
+
+    @pl.when(jnp.logical_and(z == 0, h == 0))
+    def _init():
+        slab_a[:, 0:8, :] = jnp.full_like(slab_a[:, 0:8, :], fill)
+        cbuf_a[:, 8 * cw_a:] = jnp.zeros_like(cbuf_a[:, 8 * cw_a:])
+        if dual:
+            slab_b[:, 0:8, :] = jnp.full_like(slab_b[:, 0:8, :], fill)
+            cbuf_b[:, 8 * cw_b:] = jnp.zeros_like(cbuf_b[:, 8 * cw_b:])
+        zbuf[:] = jnp.full_like(zbuf, fill)
+
+    cp_a = pltpu.make_async_copy(
+        a_hbm.at[pl.ds(pin_plane, 2), pl.ds(h0 * wpad, dma_rows)],
+        slab_a.at[:, pl.ds(8, dma_rows)], sem_a,
+    )
+    cp_a.start()
+    if dual:
+        cp_b = pltpu.make_async_copy(
+            b_hbm.at[pl.ds(pin_plane, 2), pl.ds(h0 * wpad, dma_rows)],
+            slab_b.at[:, pl.ds(8, dma_rows)], sem_b,
+        )
+        cp_b.start()
+
+    def _zero(plane, row0, nrows):
+        cp = pltpu.make_async_copy(
+            zbuf.at[pl.ds(0, nrows)],
+            out_hbm.at[plane, pl.ds(row0, nrows)], sem_z,
+        )
+        cp.start()
+        cp.wait()
+
+    @pl.when(h == 0)
+    def _top():
+        _zero(z + 1, 0, wpad)
+
+    @pl.when(h == n_h - 1)
+    def _bottom():
+        _zero(z + 1, (hh2 + 1) * wpad, wpad)
+
+    @pl.when(z == 0)
+    def _plane0():
+        _zero(0, h * 2 * rout, 2 * rout)
+
+    @pl.when(jnp.logical_and(z == 0, h == 0))
+    def _plane0_tail():
+        _zero(0, hh2 * wpad, 2 * wpad)
+
+    @pl.when(z == d2 - 1)
+    def _planeD():
+        _zero(d2 + 1, h * 2 * rout, 2 * rout)
+
+    @pl.when(jnp.logical_and(z == d2 - 1, h == 0))
+    def _planeD_tail():
+        _zero(d2 + 1, hh2 * wpad, 2 * wpad)
+
+    cp_a.wait()
+    if dual:
+        cp_b.wait()
+
+    def _build_c(cbuf, slab, cw):
+        for dz in range(2):
+            for dy in range(2):
+                base = 8 + dy * wpad
+                i0 = (dz * 2 + dy) * 2
+                cbuf[0:crows, i0 * cw:(i0 + 1) * cw] = (
+                    slab[dz, pl.ds(base - 1, crows),
+                         (pin - 1) * cw: pin * cw]
+                )
+                cbuf[0:crows, (i0 + 1) * cw:(i0 + 2) * cw] = (
+                    slab[dz, pl.ds(base + 1, crows), 0:cw]
+                )
+
+    _build_c(cbuf_a, slab_a, cw_a)
+    if dual:
+        _build_c(cbuf_b, slab_b, cw_b)
+
+    alpha = z % 2
+    acc_dt = jnp.int32 if quant else jnp.float32
+    col = jax.lax.broadcasted_iota(jnp.int32, (rout, 1), 0) % wpad
+    for beta in range(2):
+        acc0 = jnp.zeros((rout, acc.shape[-1]), acc_dt)
+        for dz in range(2):
+            for dy in range(2):
+                off = (beta + dy) * wpad + 8
+                idx = (alpha * 2 + beta) * 4 + dz * 2 + dy
+                xa = slab_a[dz, pl.ds(off, rout), :]
+                acc0 = acc0 + jax.lax.dot_general(
+                    xa, ma_ref[idx], (((1,), (0,)), ((), ())),
+                    preferred_element_type=acc_dt,
+                )
+                if dual:
+                    xb = slab_b[dz, pl.ds(off, rout), :]
+                    acc0 = acc0 + jax.lax.dot_general(
+                        xb, mb_ref[idx], (((1,), (0,)), ((), ())),
+                        preferred_element_type=acc_dt,
+                    )
+        cidx = alpha * 2 + beta
+        acc0 = acc0 + jax.lax.dot_general(
+            cbuf_a[pl.ds(beta * wpad, rout), :], ca_ref[cidx],
+            (((1,), (0,)), ((), ())), preferred_element_type=acc_dt,
+        )
+        if dual:
+            acc0 = acc0 + jax.lax.dot_general(
+                cbuf_b[pl.ds(beta * wpad, rout), :], cb_ref[cidx],
+                (((1,), (0,)), ((), ())), preferred_element_type=acc_dt,
+            )
+        if quant and zp:
+            b_row = bias_ref[pl.ds(alpha * 2 + beta, 1)]
+            res = acc0.astype(jnp.float32) * s_ref[0][None, :]
+            res = jnp.maximum(res + b_row, 0.0)
+            res = jnp.round(jnp.minimum(res, 255.0)) - 128.0
+            res = jnp.where(col < wp, res, -128.0)
+        elif quant:
+            res = acc0.astype(jnp.float32) * s_ref[0][None, :]
+            res = jnp.maximum(res + bias_ref[0][None, :], 0.0)
+            res = jnp.round(jnp.minimum(res, 127.0))
+            res = jnp.where(col < wp, res, 0.0)
+        else:
+            res = jnp.maximum(acc0 + bias_ref[0][None, :], 0.0)
+            res = jnp.where(col < wp, res, 0.0)
+        acc[beta] = res
+    for vl in range(ht):
+        outbuf[(2 * vl) * wpad: (2 * vl + 1) * wpad] = (
+            acc[0, vl * wpad: (vl + 1) * wpad]
+        ).astype(outbuf.dtype)
+        outbuf[(2 * vl + 1) * wpad: (2 * vl + 2) * wpad] = (
+            acc[1, vl * wpad: (vl + 1) * wpad]
+        ).astype(outbuf.dtype)
+    cp_o = pltpu.make_async_copy(
+        outbuf,
+        out_hbm.at[z + 1, pl.ds((1 + 2 * h0) * wpad, 2 * rout)],
+        sem_out,
+    )
+    cp_o.start()
+    cp_o.wait()
+
+
+def upconv_fused_chain_split(
+    a_chain: jax.Array,
+    split_a,
+    bias2: jax.Array,
+    hh: int,
+    wp: int,
+    pin: int,
+    cw_a: int,
+    b_chain: Optional[jax.Array] = None,
+    split_b=None,
+    cw_b: int = 0,
+    scale2: Optional[jax.Array] = None,
+    interpret: bool = False,
+    zp: bool = False,
+) -> jax.Array:
+    """Split-tap fused ConvT(k2,s2)+Conv3(k3)+bias+ReLU (chain -> chain).
+
+    Same contract as :func:`upconv_fused_chain` but taking the
+    ``(main, corr)`` packs from :func:`build_upconv_matrices_split` plus
+    the static pack/width info (``pin``, per-operand channel counts).
+    """
+    dh2, rows, cpa = a_chain.shape
+    dh = dh2 - 2
+    wpad = rows // (hh + 2)
+    assert wpad * (hh + 2) == rows and wpad % 8 == 0
+    ma, ca = split_a
+    cpo = ma.shape[-1]
+    dual = b_chain is not None
+    cpb = b_chain.shape[-1] if dual else cpa
+    quant = scale2 is not None
+    assert quant or not zp
+    if quant:
+        assert a_chain.dtype == jnp.int8 and ma.dtype == jnp.int8
+        assert bias2.shape[0] == (4 if zp else 1), bias2.shape
+
+    kc_a = ca.shape[-2]
+    mb, cb = split_b if dual else (ma, ca)
+    kc_b = cb.shape[-2]
+
+    ht = _pick_h_tile_split(
+        hh, wpad, cpa + (cpb if dual else 0), kc_a + (kc_b if dual else 0),
+        cpo, quant,
+    )
+    n_h = hh // ht
+    rout = ht * wpad
+    dma_rows = (ht + 2) * wpad
+    n_slab = dma_rows + 16
+
+    kern = functools.partial(
+        _upconv_kernel_split, rout=rout, dma_rows=dma_rows, wp=wp,
+        wpad=wpad, ht=ht, n_h=n_h, hh2=2 * hh, d2=2 * dh, dual=dual,
+        quant=quant, zp=zp, cw_a=cw_a, cw_b=cw_b if dual else cw_a,
+        pin=pin,
+    )
+    b_in = b_chain if dual else a_chain
+    ma_in = ma.reshape(16, ma.shape[-2], cpo)
+    ca_in = ca.reshape(4, kc_a, cpo)
+    mb_in = mb.reshape(16, mb.shape[-2], mb.shape[-1])
+    cb_in = cb.reshape(4, kc_b, cb.shape[-1])
+    if not quant:
+        ma_in = ma_in.astype(a_chain.dtype)
+        ca_in = ca_in.astype(a_chain.dtype)
+        mb_in = mb_in.astype(a_chain.dtype)
+        cb_in = cb_in.astype(a_chain.dtype)
+    s_in = scale2 if quant else jnp.ones((1, cpo), jnp.float32)
+    return pl.pallas_call(
+        kern,
+        grid=(2 * dh, n_h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct(
+            (2 * dh + 2, (2 * hh + 2) * wpad, cpo), a_chain.dtype
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, n_slab, cpa), a_chain.dtype),
+            pltpu.VMEM((2, n_slab, cpb), a_chain.dtype),
+            pltpu.VMEM((rout + wpad, kc_a), a_chain.dtype),
+            pltpu.VMEM((rout + wpad, kc_b), a_chain.dtype),
+            pltpu.VMEM((2, rout, cpo), jnp.float32),
+            pltpu.VMEM((2 * rout, cpo), a_chain.dtype),
+            pltpu.VMEM((max(2 * rout, 2 * wpad), cpo), a_chain.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(a_chain, b_in, ma_in, mb_in, ca_in, cb_in, s_in, bias2)
+
+
+def _pick_h_tile_split(hh, wpad, cin_total, kc_total, cpo, quant,
+                       vmem_budget=10 * 2**20):
+    b_io = 1 if quant else 2
+    for ht in sorted((t for t in range(1, min(hh, 16) + 1) if hh % t == 0),
+                     reverse=True):
+        rout = ht * wpad
+        need = (
+            2 * ((ht + 2) * wpad + 16) * cin_total * b_io
+            + (rout + wpad) * kc_total * b_io
+            + 2 * rout * cpo * 4
+            + 4 * rout * cpo * b_io
+            + (16 * 128 + 4 * 128) * cpo * b_io  # weight tensors (approx)
+        )
+        if need <= vmem_budget:
+            return ht
+    raise ValueError(f"no split upconv H tile fits: H={hh}, wpad={wpad}")
+
+
+def stack_upconv_matrices(m: np.ndarray) -> np.ndarray:
+    """Rearrange full-form upconv matrices for the v3 (DMA-stacked)
+    kernel: (2, 2, 12, Kp, Cpo) with Kp == 128 -> (2, 2, 3, 512, Cpo)
+    indexed [alpha][beta][t], rows ((dz*2+dy) lane block, pin*cw lane).
+
+    Same restructure as ``conv3d.pack_weights_stacked``: the kernel's
+    ring slots hold a (dz, dy)-stacked operand filled by 4 row-shifted
+    DMAs, so each (beta, t) needs ONE dot over all four (dz, dy) pairs —
+    12 accumulator adds per grid step instead of 48 (the upconv kernel
+    is VPU-add-bound on v5e, like the chain conv; see conv3d.py).
+    """
+    assert m.shape[3] == LANE, f"v3 needs a single-lane-block K: {m.shape}"
+    cpo = m.shape[-1]
+    out = np.zeros((2, 2, 3, 4 * LANE, cpo), m.dtype)
+    for alpha in range(2):
+        for beta in range(2):
+            for g in range(4):  # dz*2+dy
+                for t in range(3):
+                    out[alpha, beta, t, g * LANE:(g + 1) * LANE] = (
+                        m[alpha, beta, g * 3 + t]
+                    )
+    return out
+
+
+def _upconv_kernel_v3(a_hbm, b_hbm, ma_ref, mb_ref, s_ref, bias_ref,
+                      out_hbm, slab_a, slab_b, acc, outbuf, zbuf, sem_a,
+                      sem_b, sem_out, sem_z, *, rout, dma_rows, wp, wpad,
+                      ht, n_h, hh2, d2, dual, quant, zp):
+    """DMA-stacked upconv kernel: ring-less (slab re-DMA'd per step, as
+    the full-form kernel), operands (dz, dy)-stacked in lanes by 4 DMAs
+    per operand; per beta, one dot per t per operand (K = 512)."""
+    z = pl.program_id(0)   # out plane in [0, 2*Dh)
+    h = pl.program_id(1)
+    h0 = h * ht
+    pin_plane = (z + 1) // 2
+    fill = jnp.int8(-128) if zp else 0
+
+    @pl.when(jnp.logical_and(z == 0, h == 0))
+    def _init():
+        slab_a[0:8, :] = jnp.full_like(slab_a[0:8, :], fill)
+        if dual:
+            slab_b[0:8, :] = jnp.full_like(slab_b[0:8, :], fill)
+        zbuf[:] = jnp.full_like(zbuf, fill)
+
+    # Slab row s (s >= 8), lane block g = dz*2+dy holds x[pin_plane+dz,
+    # h0*wpad + dy*wpad - 8 + (s - 8)] — the -8 keeps DMA offsets 8-row
+    # aligned (Mosaic requirement); reads for (beta, t) then slice rows
+    # [15 + beta*wpad + t, + rout) (read offsets may be unaligned). At
+    # (h == 0, dy == 0) the window's first 8 x rows don't exist: the DMA
+    # shifts one vreg-row down and rows [8, 16) take the fill (only row
+    # 15 = x[-1] is ever read — semantically a W-pad column = fill). The
+    # top end lands on the plane's last row; the slack rows the
+    # (beta=1, t>=1, j=rout-1) reads touch only feed the always-masked
+    # w' = wpad-1 output row.
+    def _dma(hbm, slab, sem, g, dz, dy):
+        src0 = h0 * wpad + dy * wpad - 8
+        return pltpu.make_async_copy(
+            hbm.at[pin_plane + dz, pl.ds(src0, dma_rows)],
+            slab.at[pl.ds(8, dma_rows), pl.ds(g * 128, 128)],
+            sem.at[g],
+        )
+
+    def _dma_first(hbm, slab, sem, g, dz):
+        return pltpu.make_async_copy(
+            hbm.at[pin_plane + dz, pl.ds(0, dma_rows - 8)],
+            slab.at[pl.ds(16, dma_rows - 8), pl.ds(g * 128, 128)],
+            sem.at[g],
+        )
+
+    def _start(hbm, slab, sem):
+        for dz in range(2):
+            for dy in range(2):
+                g = dz * 2 + dy
+                if dy == 0:
+                    @pl.when(h == 0)
+                    def _a(g=g, dz=dz):
+                        _dma_first(hbm, slab, sem, g, dz).start()
+
+                    @pl.when(h != 0)
+                    def _b(g=g, dz=dz, dy=dy):
+                        _dma(hbm, slab, sem, g, dz, dy).start()
+                else:
+                    _dma(hbm, slab, sem, g, dz, dy).start()
+
+    def _wait(hbm, slab, sem):
+        for dz in range(2):
+            for dy in range(2):
+                g = dz * 2 + dy
+                if dy == 0:
+                    @pl.when(h == 0)
+                    def _a(g=g, dz=dz):
+                        _dma_first(hbm, slab, sem, g, dz).wait()
+                        slab[8:16, pl.ds(g * 128, 128)] = jnp.full_like(
+                            slab[8:16, pl.ds(g * 128, 128)], fill
+                        )
+
+                    @pl.when(h != 0)
+                    def _b(g=g, dz=dz, dy=dy):
+                        _dma(hbm, slab, sem, g, dz, dy).wait()
+                else:
+                    _dma(hbm, slab, sem, g, dz, dy).wait()
+
+    _start(a_hbm, slab_a, sem_a)
+    if dual:
+        _start(b_hbm, slab_b, sem_b)
+
+    def _zero(plane, row0, nrows):
+        cp = pltpu.make_async_copy(
+            zbuf.at[pl.ds(0, nrows)],
+            out_hbm.at[plane, pl.ds(row0, nrows)], sem_z,
+        )
+        cp.start()
+        cp.wait()
+
+    @pl.when(h == 0)
+    def _top():
+        _zero(z + 1, 0, wpad)
+
+    @pl.when(h == n_h - 1)
+    def _bottom():
+        _zero(z + 1, (hh2 + 1) * wpad, wpad)
+
+    @pl.when(z == 0)
+    def _plane0():
+        _zero(0, h * 2 * rout, 2 * rout)
+
+    @pl.when(jnp.logical_and(z == 0, h == 0))
+    def _plane0_tail():
+        _zero(0, hh2 * wpad, 2 * wpad)
+
+    @pl.when(z == d2 - 1)
+    def _planeD():
+        _zero(d2 + 1, h * 2 * rout, 2 * rout)
+
+    @pl.when(jnp.logical_and(z == d2 - 1, h == 0))
+    def _planeD_tail():
+        _zero(d2 + 1, hh2 * wpad, 2 * wpad)
+
+    _wait(a_hbm, slab_a, sem_a)
+    if dual:
+        _wait(b_hbm, slab_b, sem_b)
+
+    alpha = z % 2
+    acc_dt = jnp.int32 if quant else jnp.float32
+    col = jax.lax.broadcasted_iota(jnp.int32, (rout, 1), 0) % wpad
+    for beta in range(2):
+        acc0 = jnp.zeros((rout, acc.shape[-1]), acc_dt)
+        for t in range(3):
+            off = 15 + beta * wpad + t
+            idx = (alpha * 2 + beta) * 3 + t
+            xa = slab_a[pl.ds(off, rout), :]
+            acc0 = acc0 + jax.lax.dot_general(
+                xa, ma_ref[idx], (((1,), (0,)), ((), ())),
+                preferred_element_type=acc_dt,
+            )
+            if dual:
+                xb = slab_b[pl.ds(off, rout), :]
+                acc0 = acc0 + jax.lax.dot_general(
+                    xb, mb_ref[idx], (((1,), (0,)), ((), ())),
+                    preferred_element_type=acc_dt,
+                )
+        if quant and zp:
+            b_row = bias_ref[pl.ds(alpha * 2 + beta, 1)]
+            res = acc0.astype(jnp.float32) * s_ref[0][None, :]
+            res = jnp.maximum(res + b_row, 0.0)
+            res = jnp.round(jnp.minimum(res, 255.0)) - 128.0
+            res = jnp.where(col < wp, res, -128.0)
+        elif quant:
+            res = acc0.astype(jnp.float32) * s_ref[0][None, :]
+            res = jnp.maximum(res + bias_ref[0][None, :], 0.0)
+            res = jnp.round(jnp.minimum(res, 127.0))
+            res = jnp.where(col < wp, res, 0.0)
+        else:
+            res = jnp.maximum(acc0 + bias_ref[0][None, :], 0.0)
+            res = jnp.where(col < wp, res, 0.0)
+        acc[beta] = res
+    for vl in range(ht):
+        outbuf[(2 * vl) * wpad: (2 * vl + 1) * wpad] = (
+            acc[0, vl * wpad: (vl + 1) * wpad]
+        ).astype(outbuf.dtype)
+        outbuf[(2 * vl + 1) * wpad: (2 * vl + 2) * wpad] = (
+            acc[1, vl * wpad: (vl + 1) * wpad]
+        ).astype(outbuf.dtype)
+    cp_o = pltpu.make_async_copy(
+        outbuf,
+        out_hbm.at[z + 1, pl.ds((1 + 2 * h0) * wpad, 2 * rout)],
+        sem_out,
+    )
+    cp_o.start()
+    cp_o.wait()
+
+
+def upconv_fused_chain_v3(
+    a_chain: jax.Array,
+    mats_a: jax.Array,
+    bias2: jax.Array,
+    hh: int,
+    wp: int,
+    b_chain: Optional[jax.Array] = None,
+    mats_b: Optional[jax.Array] = None,
+    scale2: Optional[jax.Array] = None,
+    interpret: bool = False,
+    zp: bool = False,
+) -> jax.Array:
+    """DMA-stacked fused ConvT(k2,s2)+Conv3(k3)+bias+ReLU (chain->chain).
+
+    Same contract as :func:`upconv_fused_chain` but with
+    :func:`stack_upconv_matrices` weights ((2, 2, 3, 512, Cpo)); requires
+    the operands' packed width to be a single 128-lane block.
+    """
+    dh2, rows, cpa = a_chain.shape
+    dh = dh2 - 2
+    wpad = rows // (hh + 2)
+    assert wpad * (hh + 2) == rows and wpad % 8 == 0
+    assert cpa == LANE, cpa
+    cpo = mats_a.shape[-1]
+    dual = b_chain is not None
+    quant = scale2 is not None
+    assert quant or not zp
+    if quant:
+        assert a_chain.dtype == jnp.int8 and mats_a.dtype == jnp.int8
+        assert bias2.shape[0] == (4 if zp else 1), bias2.shape
+
+    ht = _pick_h_tile_v3(hh, wpad, 2 if dual else 1, cpo, quant)
+    n_h = hh // ht
+    rout = ht * wpad
+    dma_rows = rout + wpad + 8
+    n_slab = dma_rows + 16
+
+    kern = functools.partial(
+        _upconv_kernel_v3, rout=rout, dma_rows=dma_rows, wp=wp, wpad=wpad,
+        ht=ht, n_h=n_h, hh2=2 * hh, d2=2 * dh, dual=dual, quant=quant,
+        zp=zp,
+    )
+    b_in = b_chain if dual else a_chain
+    mb_in = mats_b if dual else mats_a
+    ma_in = mats_a.reshape(12, 4 * LANE, cpo)
+    mb_in = mb_in.reshape(12, 4 * LANE, mb_in.shape[-1])
+    if not quant:
+        ma_in = ma_in.astype(a_chain.dtype)
+        mb_in = mb_in.astype(a_chain.dtype)
+    s_in = scale2 if quant else jnp.ones((1, cpo), jnp.float32)
+    return pl.pallas_call(
+        kern,
+        grid=(2 * dh, n_h),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct(
+            (2 * dh + 2, (2 * hh + 2) * wpad, cpo), a_chain.dtype
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n_slab, 4 * LANE), a_chain.dtype),
+            pltpu.VMEM((n_slab, 4 * LANE), a_chain.dtype),
+            pltpu.VMEM((2, rout, cpo), jnp.float32),
+            pltpu.VMEM((2 * rout, cpo), a_chain.dtype),
+            pltpu.VMEM((max(2 * rout, 2 * wpad), cpo), a_chain.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(a_chain, b_in, ma_in, mb_in, s_in, bias2)
+
+
+def _pick_h_tile_v3(hh, wpad, n_ops, cpo, quant, vmem_budget=10 * 2**20):
+    b_io = 1 if quant else 2
+    for ht in sorted((t for t in range(1, min(hh, 16) + 1) if hh % t == 0),
+                     reverse=True):
+        rout = ht * wpad
+        need = (
+            2 * (rout + wpad + 17) * 4 * LANE * b_io   # stacked slabs
+            + 2 * rout * cpo * 4
+            + 4 * rout * cpo * b_io
+            + 2 * 12 * 4 * LANE * cpo * b_io           # weight tensors
+        )
+        if need <= vmem_budget:
+            return ht
+    raise ValueError(f"no v3 upconv H tile fits: H={hh}, wpad={wpad}")
+
+
 def pack_out_bias(bias: np.ndarray, pout: int) -> np.ndarray:
     cout_p = _round_up(pout * bias.shape[0], LANE)
     out = np.zeros((1, cout_p), np.float32)
