@@ -214,9 +214,10 @@ def _quant_upconv(up_raw, unit0, ca: Optional[int], s_a: np.ndarray,
     # colsum is identical between the full and split forms per parity.
     if split:
         sa, sb = uc.build_upconv_matrices_split(r_q, pa, ci_split)
-        colsum_q = sa[0].sum(axis=(2, 3)) + sa[1].sum(axis=2)
+        colsum_q = sa[0].sum(axis=(2, 3)) + sa[1].sum(axis=(2, 3))
         if sb is not None:
-            colsum_q = colsum_q + sb[0].sum(axis=(2, 3)) + sb[1].sum(axis=2)
+            colsum_q = (colsum_q + sb[0].sum(axis=(2, 3))
+                        + sb[1].sum(axis=(2, 3)))
     else:
         ma, mb = uc.build_upconv_matrices(r_q, pa, ci_split)
         colsum_q = ma.sum(axis=(2, 3))  # (2, 2, Cpo), integer-valued

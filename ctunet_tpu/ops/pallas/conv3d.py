@@ -1080,11 +1080,9 @@ def conv3d_chain_split(
     dma_rows = (ht + 2) * wpad
     n_slab = dma_rows + 16
     with jax.ensure_compile_time_eval():
-        perms = jnp.asarray(
-            corr_perms(pack, cw, cin_p).astype(
-                np.int8 if quant else np.float32
-            )
-        )
+        p_np = corr_perms(pack, cw, cin_p)
+        perms = (jnp.asarray(p_np.astype(np.int8)) if quant
+                 else jnp.asarray(p_np, x.dtype))
 
     kern = functools.partial(
         _chain_kernel_ring_split, rout=rout, dma_rows=dma_rows, relu=relu,
@@ -1134,6 +1132,7 @@ def _pick_chain_h_tile_split(hh: int, wpad: int, cin_p: int, kc_p: int,
     """Largest divisor of H whose split-tap scratch set fits VMEM."""
     b_in = 1 if quant else 2
     b_out = 1 if quant else 2
+    weights = (9 * cin_p + 3 * kc_p + 6 * cin_p * kc_p // cout_p) * cout_p
     for ht in sorted((t for t in range(1, hh + 1) if hh % t == 0),
                      reverse=True):
         rout = ht * wpad
@@ -1141,7 +1140,9 @@ def _pick_chain_h_tile_split(hh: int, wpad: int, cin_p: int, kc_p: int,
             4 * ((ht + 2) * wpad + 16) * cin_p * b_in   # slab ring
             + 4 * rout * kc_p * b_in                     # corr ring
             + 2 * rout * cout_p * 4                      # acc x2
+            + rout * kc_p * 4                            # MXU-gather temp
             + 3 * rout * cout_p * b_out                  # outbufs + zbuf
+            + weights * b_in                             # wm + wc + perms
         )
         if need <= vmem_budget:
             return ht

@@ -187,9 +187,12 @@ def build_upconv_matrices_split(
         ``main`` (2, 2, 4, round_up(pin*cw, 128), Cout_p) indexed
         ``[alpha][beta][dz*2+dy]`` — in-block taps, operand = the raw
         half-res slab at row offset (beta+dy)*wpad + 8;
-        ``corr`` (2, 2, round_up(8*cw, 128), Cout_p) — boundary taps,
-        rows ((dz, dy, side, c)), operand = the gathered boundary buffer
-        at row offset beta*wpad. Single-operand: second element is None.
+        ``corr`` (2, 2, 2, round_up(4*cw, 128), Cout_p) indexed
+        ``[alpha][beta][dz]`` — boundary taps, rows ((dy, side, c)),
+        operand = the PER-PLANE gathered boundary buffer (built once per
+        arriving plane by the kernel's MXU permutation dots,
+        :func:`upconv_corr_perms`) at row offset beta*wpad.
+        Single-operand: second element is None.
     """
     cin, co = R.shape[3], R.shape[4]
     pout = 2 * pin
@@ -199,10 +202,10 @@ def build_upconv_matrices_split(
     outs = []
     for c0, cw in splits:
         kp = _round_up(pin * cw, LANE)
-        kc = _round_up(8 * cw, LANE)
+        kc = _round_up(4 * cw, LANE)
         cout_p = _round_up(pout * co, LANE)
         main = np.zeros((2, 2, 4, kp, cout_p), np.float32)
-        corr = np.zeros((2, 2, kc, cout_p), np.float32)
+        corr = np.zeros((2, 2, 2, kc, cout_p), np.float32)
         for alpha in range(2):
             for beta in range(2):
                 for dz in range(2):
@@ -221,8 +224,8 @@ def build_upconv_matrices_split(
                                          ] += blk
                                 else:
                                     side = 0 if u_x == -1 else 1
-                                    i0 = (dz * 2 + dy) * 2 + side
-                                    corr[alpha, beta,
+                                    i0 = dy * 2 + side
+                                    corr[alpha, beta, dz,
                                          i0 * cw:(i0 + 1) * cw,
                                          s_out * co:(s_out + 1) * co,
                                          ] += blk
@@ -230,42 +233,122 @@ def build_upconv_matrices_split(
     return outs[0], (outs[1] if ci_split is not None else None)
 
 
+def upconv_corr_perms(pin: int, cw: int, cin_p: int) -> np.ndarray:
+    """(4, cin_p, round_up(4*cw, 128)) 0/1 permutation matrices, indexed
+    ``2*dy + side`` — the MXU boundary gather for the split upconv kernel
+    (same construction as ``conv3d.corr_perms``, k=2 edition): applied to
+    a plane's slab at row offsets base(dy)-1 / base(dy)+1 they assemble
+    the per-plane boundary operand the ``corr`` matrices contract with.
+    """
+    kc = _round_up(4 * cw, LANE)
+    p = np.zeros((4, cin_p, kc), np.float32)
+    for dy in range(2):
+        for c in range(cw):
+            p[2 * dy, (pin - 1) * cw + c, (2 * dy) * cw + c] = 1.0
+            p[2 * dy + 1, c, (2 * dy + 1) * cw + c] = 1.0
+    return p
+
+
 def _upconv_kernel_split(a_hbm, b_hbm, ma_ref, mb_ref, ca_ref, cb_ref,
-                         s_ref, bias_ref, out_hbm, slab_a, slab_b, cbuf_a,
-                         cbuf_b, acc, outbuf, zbuf, sem_a, sem_b, sem_out,
-                         sem_z, *, rout, dma_rows, wp, wpad, ht, n_h, hh2,
-                         d2, dual, quant, zp, cw_a, cw_b, pin):
-    """Split-tap variant of :func:`_upconv_kernel`: per beta, 4 main dots
-    per operand on the raw slab + 1 correction dot per operand on the
-    gathered boundary buffer (10 vs 24 MXU tile-row streams when both
-    operands fit one lane block)."""
-    z = pl.program_id(0)
-    h = pl.program_id(1)
+                         pa_ref, pb_ref, s_ref, bias_ref, out_hbm, slab_a,
+                         slab_b, cbuf_a, cbuf_b, acc, outbuf, zbuf, sem_a,
+                         sem_b, sem_out, sem_z, *, rout, dma_rows, wp, wpad,
+                         ht, n_h, hh2, d2, dual, quant, zp, cw_a, cw_b, pin):
+    """Ring-cached split-tap fused upsample+conv (grid (n_h, d2), output
+    plane z innermost).
+
+    Round-3 rewrite of the serial form, which re-DMA'd its 2-plane input
+    window every step, gathered the boundary buffer with VPU lane-rotate
+    copies every step, and start+WAITed its output DMA in-step. Here:
+
+    - a 4-slot INPUT PLANE RING per operand: output planes z = 2q-1, 2q
+      share input plane q, so each plane's window is DMA'd once per
+      h-tile and prefetched two steps ahead;
+    - the boundary gather runs ON THE MXU (4 permutation dots per operand
+      per ARRIVING plane — ``upconv_corr_perms``), its result reused by
+      the two (z, dz) steps the plane participates in;
+    - output DMAs are double-buffered (reclaimed two steps later).
+
+    Per step and operand: 8 main dots (2 beta x (dz, dy)) + 2 corr dots
+    (beta x dz) on the per-plane gathered buffers.
+    """
+    h = pl.program_id(0)
+    z = pl.program_id(1)
     h0 = h * ht
-    pin_plane = (z + 1) // 2
+    p = (z + 1) // 2  # first input plane of this output plane's pair
     fill = jnp.int8(-128) if zp else 0
     crows = rout + wpad
+    dh = d2 // 2
+    gather_dt = jnp.int32 if quant else jnp.float32
 
-    @pl.when(jnp.logical_and(z == 0, h == 0))
+    @pl.when(jnp.logical_and(h == 0, z == 0))
     def _init():
         slab_a[:, 0:8, :] = jnp.full_like(slab_a[:, 0:8, :], fill)
-        cbuf_a[:, 8 * cw_a:] = jnp.zeros_like(cbuf_a[:, 8 * cw_a:])
         if dual:
             slab_b[:, 0:8, :] = jnp.full_like(slab_b[:, 0:8, :], fill)
-            cbuf_b[:, 8 * cw_b:] = jnp.zeros_like(cbuf_b[:, 8 * cw_b:])
         zbuf[:] = jnp.full_like(zbuf, fill)
 
-    cp_a = pltpu.make_async_copy(
-        a_hbm.at[pl.ds(pin_plane, 2), pl.ds(h0 * wpad, dma_rows)],
-        slab_a.at[:, pl.ds(8, dma_rows)], sem_a,
-    )
-    cp_a.start()
-    if dual:
-        cp_b = pltpu.make_async_copy(
-            b_hbm.at[pl.ds(pin_plane, 2), pl.ds(h0 * wpad, dma_rows)],
-            slab_b.at[:, pl.ds(8, dma_rows)], sem_b,
+    def _in_copy_a(q):
+        return pltpu.make_async_copy(
+            a_hbm.at[q, pl.ds(h0 * wpad, dma_rows)],
+            slab_a.at[q % 4, pl.ds(8, dma_rows)], sem_a.at[q % 4],
         )
-        cp_b.start()
+
+    def _in_copy_b(q):
+        return pltpu.make_async_copy(
+            b_hbm.at[q, pl.ds(h0 * wpad, dma_rows)],
+            slab_b.at[q % 4, pl.ds(8, dma_rows)], sem_b.at[q % 4],
+        )
+
+    def _start(q):
+        _in_copy_a(q).start()
+        if dual:
+            _in_copy_b(q).start()
+
+    def _wait(q):
+        _in_copy_a(q).wait()
+        if dual:
+            _in_copy_b(q).wait()
+
+    def _build_one(cbuf, slab, p_ref, q):
+        g = None
+        for dy in range(2):
+            base = 8 + dy * wpad
+            for side, roff in ((0, -1), (1, 1)):
+                xs = slab[q % 4, pl.ds(base + roff, crows), :]
+                dres = jax.lax.dot_general(
+                    xs, p_ref[2 * dy + side], (((1,), (0,)), ((), ())),
+                    preferred_element_type=gather_dt,
+                )
+                g = dres if g is None else g + dres
+        cbuf[q % 4] = g.astype(cbuf.dtype)
+
+    def _build_c(q):
+        _build_one(cbuf_a, slab_a, pa_ref, q)
+        if dual:
+            _build_one(cbuf_b, slab_b, pb_ref, q)
+
+    @pl.when(z == 0)
+    def _prefill():
+        _start(0)
+        _start(1)
+        if dh + 1 >= 2:  # static: input has dh+2 planes
+            _start(2)
+        _wait(0)
+        _build_c(0)
+        _wait(1)
+        _build_c(1)
+
+    # a NEW input plane ((z+3)//2) enters at every odd z; prefetch the
+    # plane two steps ahead of its own entry
+    @pl.when(jnp.logical_and(z % 2 == 1, (z + 5) // 2 <= dh + 1))
+    def _prefetch():
+        _start((z + 5) // 2)
+
+    @pl.when(jnp.logical_and(z % 2 == 1, (z + 3) // 2 <= dh + 1))
+    def _arrive():
+        _wait((z + 3) // 2)
+        _build_c((z + 3) // 2)
 
     def _zero(plane, row0, nrows):
         cp = pltpu.make_async_copy(
@@ -299,26 +382,18 @@ def _upconv_kernel_split(a_hbm, b_hbm, ma_ref, mb_ref, ca_ref, cb_ref,
     def _planeD_tail():
         _zero(d2 + 1, hh2 * wpad, 2 * wpad)
 
-    cp_a.wait()
-    if dual:
-        cp_b.wait()
+    par = (h * d2 + z) % 2
 
-    def _build_c(cbuf, slab, cw):
-        for dz in range(2):
-            for dy in range(2):
-                base = 8 + dy * wpad
-                i0 = (dz * 2 + dy) * 2
-                cbuf[0:crows, i0 * cw:(i0 + 1) * cw] = (
-                    slab[dz, pl.ds(base - 1, crows),
-                         (pin - 1) * cw: pin * cw]
-                )
-                cbuf[0:crows, (i0 + 1) * cw:(i0 + 2) * cw] = (
-                    slab[dz, pl.ds(base + 1, crows), 0:cw]
-                )
+    def _out_copy(pbuf):
+        return pltpu.make_async_copy(
+            outbuf.at[pbuf],
+            out_hbm.at[z + 1, pl.ds((1 + 2 * h0) * wpad, 2 * rout)],
+            sem_out.at[pbuf],
+        )
 
-    _build_c(cbuf_a, slab_a, cw_a)
-    if dual:
-        _build_c(cbuf_b, slab_b, cw_b)
+    @pl.when(h * d2 + z >= 2)
+    def _reclaim():
+        _out_copy(par).wait()
 
     alpha = z % 2
     acc_dt = jnp.int32 if quant else jnp.float32
@@ -329,27 +404,30 @@ def _upconv_kernel_split(a_hbm, b_hbm, ma_ref, mb_ref, ca_ref, cb_ref,
             for dy in range(2):
                 off = (beta + dy) * wpad + 8
                 idx = (alpha * 2 + beta) * 4 + dz * 2 + dy
-                xa = slab_a[dz, pl.ds(off, rout), :]
+                xa = slab_a[(p + dz) % 4, pl.ds(off, rout), :]
                 acc0 = acc0 + jax.lax.dot_general(
                     xa, ma_ref[idx], (((1,), (0,)), ((), ())),
                     preferred_element_type=acc_dt,
                 )
                 if dual:
-                    xb = slab_b[dz, pl.ds(off, rout), :]
+                    xb = slab_b[(p + dz) % 4, pl.ds(off, rout), :]
                     acc0 = acc0 + jax.lax.dot_general(
                         xb, mb_ref[idx], (((1,), (0,)), ((), ())),
                         preferred_element_type=acc_dt,
                     )
-        cidx = alpha * 2 + beta
-        acc0 = acc0 + jax.lax.dot_general(
-            cbuf_a[pl.ds(beta * wpad, rout), :], ca_ref[cidx],
-            (((1,), (0,)), ((), ())), preferred_element_type=acc_dt,
-        )
-        if dual:
+        for dz in range(2):
+            cidx = (alpha * 2 + beta) * 2 + dz
             acc0 = acc0 + jax.lax.dot_general(
-                cbuf_b[pl.ds(beta * wpad, rout), :], cb_ref[cidx],
+                cbuf_a[(p + dz) % 4, pl.ds(beta * wpad, rout), :],
+                ca_ref[cidx],
                 (((1,), (0,)), ((), ())), preferred_element_type=acc_dt,
             )
+            if dual:
+                acc0 = acc0 + jax.lax.dot_general(
+                    cbuf_b[(p + dz) % 4, pl.ds(beta * wpad, rout), :],
+                    cb_ref[cidx],
+                    (((1,), (0,)), ((), ())), preferred_element_type=acc_dt,
+                )
         if quant and zp:
             b_row = bias_ref[pl.ds(alpha * 2 + beta, 1)]
             res = acc0.astype(jnp.float32) * s_ref[0][None, :]
@@ -366,19 +444,21 @@ def _upconv_kernel_split(a_hbm, b_hbm, ma_ref, mb_ref, ca_ref, cb_ref,
             res = jnp.where(col < wp, res, 0.0)
         acc[beta] = res
     for vl in range(ht):
-        outbuf[(2 * vl) * wpad: (2 * vl + 1) * wpad] = (
+        outbuf[par, (2 * vl) * wpad: (2 * vl + 1) * wpad] = (
             acc[0, vl * wpad: (vl + 1) * wpad]
         ).astype(outbuf.dtype)
-        outbuf[(2 * vl + 1) * wpad: (2 * vl + 2) * wpad] = (
+        outbuf[par, (2 * vl + 1) * wpad: (2 * vl + 2) * wpad] = (
             acc[1, vl * wpad: (vl + 1) * wpad]
         ).astype(outbuf.dtype)
-    cp_o = pltpu.make_async_copy(
-        outbuf,
-        out_hbm.at[z + 1, pl.ds((1 + 2 * h0) * wpad, 2 * rout)],
-        sem_out,
-    )
-    cp_o.start()
-    cp_o.wait()
+    _out_copy(par).start()
+
+    @pl.when(jnp.logical_and(h == n_h - 1, z == d2 - 1))
+    def _drain():
+        _out_copy(par).wait()
+
+        @pl.when(n_h * d2 >= 2)
+        def _drain_other():
+            _out_copy(1 - par).wait()
 
 
 def upconv_fused_chain_split(
@@ -437,21 +517,31 @@ def upconv_fused_chain_split(
     )
     b_in = b_chain if dual else a_chain
     ma_in = ma.reshape(16, ma.shape[-2], cpo)
-    ca_in = ca.reshape(4, kc_a, cpo)
+    ca_in = ca.reshape(8, kc_a, cpo)
     mb_in = mb.reshape(16, mb.shape[-2], mb.shape[-1])
-    cb_in = cb.reshape(4, kc_b, cb.shape[-1])
+    cb_in = cb.reshape(8, kc_b, cb.shape[-1])
+    with jax.ensure_compile_time_eval():
+        np_pdt = np.int8 if quant else np.float32
+        pa_in = jnp.asarray(
+            upconv_corr_perms(pin, cw_a, cpa).astype(np_pdt))
+        pb_in = jnp.asarray(upconv_corr_perms(
+            pin, cw_b if dual else cw_a, cpb).astype(np_pdt))
     if not quant:
         ma_in = ma_in.astype(a_chain.dtype)
         ca_in = ca_in.astype(a_chain.dtype)
         mb_in = mb_in.astype(a_chain.dtype)
         cb_in = cb_in.astype(a_chain.dtype)
+        pa_in = pa_in.astype(a_chain.dtype)
+        pb_in = pb_in.astype(a_chain.dtype)
     s_in = scale2 if quant else jnp.ones((1, cpo), jnp.float32)
     return pl.pallas_call(
         kern,
-        grid=(2 * dh, n_h),
+        grid=(n_h, 2 * dh),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -464,20 +554,20 @@ def upconv_fused_chain_split(
             (2 * dh + 2, (2 * hh + 2) * wpad, cpo), a_chain.dtype
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, n_slab, cpa), a_chain.dtype),
-            pltpu.VMEM((2, n_slab, cpb), a_chain.dtype),
-            pltpu.VMEM((rout + wpad, kc_a), a_chain.dtype),
-            pltpu.VMEM((rout + wpad, kc_b), a_chain.dtype),
+            pltpu.VMEM((4, n_slab, cpa), a_chain.dtype),
+            pltpu.VMEM((4, n_slab, cpb), a_chain.dtype),
+            pltpu.VMEM((4, rout + wpad, kc_a), a_chain.dtype),
+            pltpu.VMEM((4, rout + wpad, kc_b), a_chain.dtype),
             pltpu.VMEM((2, rout, cpo), jnp.float32),
-            pltpu.VMEM((2 * rout, cpo), a_chain.dtype),
+            pltpu.VMEM((2, 2 * rout, cpo), a_chain.dtype),
             pltpu.VMEM((max(2 * rout, 2 * wpad), cpo), a_chain.dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(a_chain, b_in, ma_in, mb_in, ca_in, cb_in, s_in, bias2)
+    )(a_chain, b_in, ma_in, mb_in, ca_in, cb_in, pa_in, pb_in, s_in, bias2)
 
 
 def _pick_h_tile_split(hh, wpad, cin_total, kc_total, cpo, quant,
@@ -487,11 +577,11 @@ def _pick_h_tile_split(hh, wpad, cin_total, kc_total, cpo, quant,
                      reverse=True):
         rout = ht * wpad
         need = (
-            2 * ((ht + 2) * wpad + 16) * cin_total * b_io
-            + (rout + wpad) * kc_total * b_io
-            + 2 * rout * cpo * 4
-            + 4 * rout * cpo * b_io
-            + (16 * 128 + 4 * 128) * cpo * b_io  # weight tensors (approx)
+            4 * ((ht + 2) * wpad + 16) * cin_total * b_io  # plane rings
+            + 4 * (rout + wpad) * kc_total * b_io           # corr rings
+            + 2 * rout * cpo * 4                            # acc
+            + 6 * rout * cpo * b_io                         # outbufs + zbuf
+            + (16 * 128 + 8 * 128 + 4 * 128) * cpo * b_io   # weights+perms
         )
         if need <= vmem_budget:
             return ht

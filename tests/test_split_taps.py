@@ -129,8 +129,8 @@ def test_split_upconv_q_bit_exact(rng):
     # zp bias rows: per-parity zero-point corrections from the quantized
     # matrices — identical between forms (same taps rearranged)
     colsum = ma.sum(axis=(2, 3)) + mb.sum(axis=(2, 3))
-    colsum_s = (sa[0].sum(axis=(2, 3)) + sa[1].sum(axis=2)
-                + sb[0].sum(axis=(2, 3)) + sb[1].sum(axis=2))
+    colsum_s = (sa[0].sum(axis=(2, 3)) + sa[1].sum(axis=(2, 3))
+                + sb[0].sum(axis=(2, 3)) + sb[1].sum(axis=(2, 3)))
     np.testing.assert_array_equal(colsum, colsum_s)
     scale_lane = uc.pack_out_bias(scale, pout)[0]
     base = uc.pack_out_bias(bias, pout)[0]

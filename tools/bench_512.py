@@ -87,6 +87,7 @@ def main() -> None:
         timed(fwd, "xla_bf16")
 
     from ctunet_tpu import engine
+    from ctunet_tpu import engine_q
 
     predict = engine.build_predict("UNetSPSmall", variables)
 
@@ -96,8 +97,6 @@ def main() -> None:
             return _sum(predict(x))
 
         timed(fwd_e, "engine_bf16")
-
-        from ctunet_tpu import engine_q
 
         predict_q = engine_q.build_predict_q("UNetSPSmall", variables, x[0])
 

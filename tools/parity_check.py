@@ -261,6 +261,37 @@ def main():
                   f"adaquant={bool(aq)}) done", flush=True)
     except Exception as e:
         print(f"int8 engine skipped: {type(e).__name__}: {e}", flush=True)
+
+    # --- QAT-tuned weights (tools/qat_tune.py output), int8 columns ---
+    # Evaluated against the SAME reference masks (from the pre-QAT
+    # weights): the protected behavior is agreement with the reference
+    # torch forward, and QAT must close the int8 gap without moving the
+    # plain-forward masks (dice_*_engine_bf16_qat records that too).
+    qat_masks = {}  # label suffix -> (sk, fl)
+    if "--qat-ckpt" in sys.argv:
+        from ctunet_tpu import checkpoint as ckpt_mod
+
+        qat_path = os.path.abspath(
+            sys.argv[sys.argv.index("--qat-ckpt") + 1])
+        print(f"evaluating QAT checkpoint {qat_path}", flush=True)
+        variables_qat = ckpt_mod.load_any(qat_path, "UNetSP")
+        predict_bq = engine.build_predict("UNetSP", variables_qat)
+        outs_bq = predict_bq(jnp.asarray(x_all, jnp.bfloat16))
+        qat_masks["bf16_qat"] = (
+            np.argmax(np.asarray(outs_bq[0], np.float32), -1),
+            np.argmax(np.asarray(outs_bq[1], np.float32), -1),
+        )
+        for label, aq in (("int8_qat", 0), ("int8_qat_aq", 1)):
+            build = (engine_q.build_predict_q_opt if aq
+                     else engine_q.build_predict_q)
+            predict_q = build("UNetSP", variables_qat, calib)
+            outs_q = predict_q(jnp.asarray(x_all, jnp.bfloat16))
+            qat_masks[label] = (
+                np.argmax(np.asarray(outs_q[0], np.float32), -1),
+                np.argmax(np.asarray(outs_q[1], np.float32), -1),
+            )
+            print(f"  QAT {label} done", flush=True)
+
     # and a true-f32 forward (f32-built model, same params) for a
     # dtype-insensitivity reference against the torch f32 run
     from ctunet_tpu.models import build_model
@@ -324,6 +355,14 @@ def main():
                 (f"dice_fl_engine_int8_h{head}_t{tail}"
                  + ("_aq_ls" if aq >= 2 else "_aq" if aq else "")).replace(".5", "h"):
                     round(dice(m_fl, ref_fl), 6),
+            }.items()
+        },
+        **{
+            k: v
+            for label, (m_sk, m_fl) in sorted(qat_masks.items())
+            for k, v in {
+                f"dice_sk_engine_{label}": round(dice(m_sk, ref_sk), 6),
+                f"dice_fl_engine_{label}": round(dice(m_fl, ref_fl), 6),
             }.items()
         },
         "foreground_voxels_sk": int((ref_sk > 0).sum()),
