@@ -78,6 +78,13 @@ def _conv_packed(xq: jax.Array, kernel: jax.Array, p: int) -> jax.Array:
     """SAME stride-1 conv on a packed tensor (pack unchanged)."""
     from ..ops import packed_conv as pcv
 
+    if pcv.get_conv_impl() == "chain":
+        from ..ops import chain_conv_train as cct
+
+        if cct.packed_chain_supported(xq, kernel, p):
+            # split-tap chain kernel fwd/dgrad + XLA wgrad (hand VJP);
+            # the packed-resident analog of ``conv_impl = "chain"``
+            return cct.conv3d_chain_train_packed(xq, kernel)
     pw = pack_weights_jax(kernel, p).astype(xq.dtype)
     if pcv.get_conv_impl() == "xla_dw":
         return pcv._packed_core_dw(xq, pw)

@@ -182,3 +182,191 @@ def _bwd_rule(res, g):
 
 
 conv3d_chain_train.defvjp(_fwd_rule, _bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# Packed-layout variant: the packed-RESIDENT training graph's conv
+# (models/packed_resident.py) on the SPLIT-TAP chain kernel.
+#
+# The per-op ``conv3d_chain_train`` above was measured a net loss in the
+# STANDARD training graph: its to_chain/from_chain conversions start from
+# standard layout and cost ~470 ms/step at full res (BASELINE.md). In the
+# packed-resident graph the activations already live in the W-packed
+# layout, so the conversion is a pad+reshape of a lane-dense tensor
+# (~1 ms/conv at 224x304x304) while the conv itself moves from the
+# block-banded XLA form (~30 ms for a full-res forward conv — structural-
+# zero MACs, the same disease VERDICT r2 item 1 diagnosed for serving) to
+# the split-tap ring kernel (~9 ms bf16). Forward and input-gradient run
+# the split kernel; the weight-gradient defaults to XLA's native conv
+# wgrad on the packed operands (measured best in round 2) with the
+# all-MXU chain-dot form selectable for experiments.
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+_WGRAD_MODE = "xla"  # "xla" (native conv wgrad) | "chain" (27 tap dots)
+
+
+def set_wgrad_mode(mode: str) -> None:
+    """Weight-grad route for the packed chain conv (trace-time)."""
+    global _WGRAD_MODE
+    assert mode in ("xla", "chain"), mode
+    _WGRAD_MODE = mode
+
+
+def pack_weights_split_jax(w: jax.Array, pack: int, dtype):
+    """Traced-value analog of :func:`ops.pallas.conv3d.pack_weights_split`
+    (that one is numpy-only): split-tap packing of a (3,3,3,Cin,Cout)
+    kernel as a linear function of the raw weights, so it can run on
+    values produced inside a jitted training step. Exactness vs the numpy
+    packer is tested in tests/test_chain_conv_train.py."""
+    cin, cout = int(w.shape[3]), int(w.shape[4])
+    kp = _round_up(pack * cin, 128)
+    kc = _round_up(6 * cin, 128)
+    cout_p = _round_up(pack * cout, 128)
+    w = w.astype(dtype)
+    # in-block taps: main[dz*3+dy] = sum_dx kron(E_dx, w[dz,dy,dx]) with
+    # E_dx[si, s] = [si == s + dx - 1] (the W-shift placement matrix)
+    shifts = []
+    for dx in range(3):
+        e = np.zeros((pack, pack), np.float32)
+        for s in range(pack):
+            si = s + dx - 1
+            if 0 <= si < pack:
+                e[si, s] = 1.0
+        shifts.append(e)
+    mains = []
+    for dz in range(3):
+        for dy in range(3):
+            m = sum(
+                jnp.kron(jnp.asarray(e, dtype), w[dz, dy, dx])
+                for dx, e in enumerate(shifts)
+            )
+            mains.append(jnp.pad(
+                m, ((0, kp - pack * cin), (0, cout_p - pack * cout))
+            ))
+    main = jnp.stack(mains)
+    # boundary taps: corr[dz] rows (2dy)*cin hold w[dz,dy,0] -> output
+    # position 0; rows (2dy+1)*cin hold w[dz,dy,2] -> position pack-1
+    corrs = []
+    for dz in range(3):
+        blocks = []
+        for dy in range(3):
+            blocks.append(jnp.pad(
+                w[dz, dy, 0], ((0, 0), (0, (pack - 1) * cout))
+            ))
+            blocks.append(jnp.pad(
+                w[dz, dy, 2], ((0, 0), ((pack - 1) * cout, 0))
+            ))
+        c = jnp.concatenate(blocks, 0)
+        corrs.append(jnp.pad(
+            c, ((0, kc - 6 * cin), (0, cout_p - pack * cout))
+        ))
+    return main, jnp.stack(corrs)
+
+
+def packed_chain_supported(xq: jax.Array, kernel: jax.Array,
+                           pack: int) -> bool:
+    """Static gate: can the split chain kernel serve this packed conv?"""
+    if tuple(kernel.shape[:3]) != (3, 3, 3):
+        return False
+    cin, cout = int(kernel.shape[3]), int(kernel.shape[4])
+    if pack < 2 or int(xq.shape[-1]) != pack * cin:
+        return False
+    if int(xq.shape[2]) % 2 and int(xq.shape[2]) > 1:
+        pass  # any H works (h_tile=1 always divides)
+    return all(_round_up(pack * c, 128) <= 512 for c in (cin, cout))
+
+
+def _split_conv_packed_one(v: jax.Array, kernel: jax.Array, pack: int,
+                           interpret: bool) -> jax.Array:
+    """(D, H, wp, pack*Ci) packed -> (D, H, wp, pack*Co) packed, via the
+    split-tap chain kernel (relu/bias off — BN+ReLU stay outside)."""
+    d, hh, wp, _ = v.shape
+    cin, cout = int(kernel.shape[3]), int(kernel.shape[4])
+    wm, wc = pack_weights_split_jax(kernel, pack, v.dtype)
+    pb = jnp.zeros((1, wm.shape[2]), jnp.float32)
+    xc = pc.to_chain(v, pack)
+    yc = pc.conv3d_chain_split(
+        xc, wm, wc, pb, hh, wp, pack, cin, relu=False,
+        interpret=interpret, out_dtype=v.dtype,
+    )
+    return pc.from_chain(yc, hh, wp, pack * cout)
+
+
+@jax.custom_vjp
+def conv3d_chain_train_packed(xq: jax.Array, kernel: jax.Array) -> jax.Array:
+    """SAME stride-1 k3 conv on packed-layout activations
+    ``(B, D, H, W/p, p*Cin)`` with a raw ``(3,3,3,Cin,Cout)`` kernel:
+    split-tap chain forward + hand VJP (split-kernel dgrad, XLA wgrad).
+
+    Callers must pre-check :func:`packed_chain_supported`; the pack is
+    inferred from the lane count."""
+    return _fwd_packed_value(xq, kernel)
+
+
+def _infer_pack(xq, kernel) -> int:
+    return int(xq.shape[-1]) // int(kernel.shape[3])
+
+
+def _fwd_packed_value(xq, kernel):
+    pack = _infer_pack(xq, kernel)
+    interpret = jax.default_backend() == "cpu"
+    outs = [
+        _split_conv_packed_one(xq[i], kernel, pack, interpret)
+        for i in range(xq.shape[0])
+    ]
+    return outs[0][None] if len(outs) == 1 else jnp.stack(outs)
+
+
+def _fwd_packed_rule(xq, kernel):
+    return _fwd_packed_value(xq, kernel), (xq, kernel)
+
+
+def _xla_conv_packed(xq, kernel, pack):
+    pw = pack_weights_jax(kernel, pack).astype(xq.dtype)
+    return jax.lax.conv_general_dilated(
+        xq, pw, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+
+
+def _bwd_packed_rule(res, g):
+    xq, kernel = res
+    pack = _infer_pack(xq, kernel)
+    interpret = jax.default_backend() == "cpu"
+    # dL/dx: SAME stride-1 conv of g with the flipped, channel-swapped
+    # kernel — the same split kernel, so the dgrad also skips the
+    # structural-zero MACs
+    kt = _flip_swap(kernel).astype(g.dtype)
+    dxs = [
+        _split_conv_packed_one(g[i], kt, pack, interpret)
+        for i in range(g.shape[0])
+    ]
+    dx = dxs[0][None] if len(dxs) == 1 else jnp.stack(dxs)
+    if _WGRAD_MODE == "chain":
+        cin, cout = int(kernel.shape[3]), int(kernel.shape[4])
+        hh = int(xq.shape[2])
+        dwp = sum(
+            dw_chain_packed(
+                pc.to_chain(xq[i], pack), pc.to_chain(g[i], pack),
+                hh, pack, cin, cout,
+            )
+            for i in range(xq.shape[0])
+        )
+        _, pack_vjp = jax.vjp(
+            lambda kk: pack_weights_jax(kk, pack).astype(jnp.float32),
+            kernel,
+        )
+        (dw,) = pack_vjp(dwp)
+    else:
+        # XLA's native conv weight-grad on the packed operands (measured
+        # faster than dot-general forms in round 2), via a weights-only
+        # vjp of the packed XLA conv — including the linear pullback
+        # through the packing transform
+        _, vjp = jax.vjp(lambda kk: _xla_conv_packed(xq, kk, pack), kernel)
+        (dw,) = vjp(g.astype(xq.dtype))
+    return dx.astype(xq.dtype), dw.astype(kernel.dtype)
+
+
+conv3d_chain_train_packed.defvjp(_fwd_packed_rule, _bwd_packed_rule)

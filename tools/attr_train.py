@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Attribute the full-res train step's hot HLO ops to source.
+
+VERDICT r2 weak #2: the 765 ms packed-resident 224x304x304 step had no
+recorded post-change profile. This tool builds the packed-resident train
+step (the shipping default for the full-res example), compiles it,
+profiles N iterations, and prints:
+
+  (a) the top self-time ops with their HLO ``metadata.op_name`` /
+      source line (the same technique as tools/attr_int8.py);
+  (b) a category rollup (convolution / fusion / copy / reshape /
+      transpose / reduce / rest) so layout-vs-compute balance is
+      auditable round over round.
+
+Usage: python tools/attr_train.py [--shape 224,304,304] [--std]
+           [--profile-dir /tmp/trainprof]
+"""
+
+import collections
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    shape = (224, 304, 304)
+    if "--shape" in sys.argv:
+        shape = tuple(
+            int(v) for v in sys.argv[sys.argv.index("--shape") + 1].split(",")
+        )
+    prof_dir = "/tmp/trainprof_attr"
+    if "--profile-dir" in sys.argv:
+        prof_dir = sys.argv[sys.argv.index("--profile-dir") + 1]
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+
+    from ctunet_tpu import problem, steps
+    from ctunet_tpu.data.synthetic import spherical_shell
+    from ctunet_tpu.models import build_model
+
+    model = build_model("UNetSP", compute_dtype="bfloat16")
+    if "--std" not in sys.argv:
+        from ctunet_tpu.models.packed_resident import PackedResidentModel
+
+        model = PackedResidentModel(model, "UNetSP", use_remat=True)
+    x = jnp.zeros((1, *shape, 2), jnp.bfloat16)
+    variables = jax.jit(model.init, static_argnums=(2,))(
+        jax.random.key(0), x, False
+    )
+    optimizer = steps.make_optimizer(
+        {"optimizer": "adam", "learning_rate": 1e-4, "weight_decay": 0.0}
+    )
+    state = steps.TrainState(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=optimizer.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    handler = problem.FlapRecWithShapePriorDoubleOut()
+    atlas = spherical_shell(shape, radius_frac=0.42).astype("float32")
+    batch = {
+        "image": jnp.asarray(
+            spherical_shell(shape, radius_frac=0.4)[None].astype("float32")
+        )
+    }
+    train_step = steps.make_train_step(
+        model, handler, optimizer,
+        {"ce_lambda": 1.0, "dice_lambda": 1.0, "save_dice_plots": False},
+        atlas=atlas, compute_dtype=jnp.bfloat16,
+    )
+
+    # compiled HLO with metadata for name -> source mapping. make_train_step
+    # returns the jitted step; lower on the concrete args.
+    lowered = train_step.lower(state, batch, jax.random.key(0))
+    hlo = lowered.compile().as_text()
+    print(f"compiled HLO: {len(hlo.splitlines())} lines", flush=True)
+
+    state, terms = train_step(state, batch, jax.random.key(0))
+    print(f"first loss {float(terms['epoch_loss']):.6f}", flush=True)
+    from jax.profiler import trace
+
+    with trace(prof_dir):
+        for i in range(3):
+            state, terms = train_step(state, batch, jax.random.key(i + 1))
+            float(terms["epoch_loss"])
+    print(f"profile written to {prof_dir}", flush=True)
+
+    meta = {}
+    for ln in hlo.splitlines():
+        m = re.match(r"\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=", ln)
+        if not m or "metadata={" not in ln:
+            continue
+        md = ln.split("metadata={", 1)[1].split("}", 1)[0]
+        op = re.search(r'op_name="([^"]*)"', md)
+        src = re.search(r'source_file="([^"]*)"', md)
+        line = re.search(r"source_line=(\d+)", md)
+        meta[m.group(1)] = (
+            (op.group(1) if op else ""),
+            f"{src.group(1) if src else ''}:{line.group(1) if line else ''}",
+        )
+
+    ts = sorted(glob.glob(
+        os.path.join(prof_dir, "plugins/profile/*/*.trace.json.gz")
+    ))
+    if not ts:
+        print("no trace.json found; inspect the profile dir manually")
+        return
+    with gzip.open(ts[-1], "rt") as f:
+        events = json.load(f).get("traceEvents", [])
+    tot = collections.defaultdict(float)
+    for ev in events:
+        if ev.get("ph") == "X" and "dur" in ev:
+            tot[ev.get("name", "?")] += float(ev["dur"])
+
+    cats = collections.defaultdict(float)
+    for name, dur in tot.items():
+        base = name.split("/")[-1]
+        cat = re.match(r"[a-zA-Z_\-]+", base)
+        cats[cat.group(0) if cat else "?"] += dur
+    print("category rollup (ms/step):")
+    for name, dur in sorted(cats.items(), key=lambda kv: -kv[1])[:15]:
+        print(f"  {dur/3/1000:8.1f} ms  {name}")
+
+    top = sorted(tot.items(), key=lambda kv: -kv[1])[:40]
+    print("top ops (us/step):")
+    for name, dur in top:
+        base = name.split("/")[-1]
+        op, src = meta.get(base, meta.get(name, ("", "")))
+        print(f"  {dur/3:9.0f} us  {name[:42]:<42s} {op[:58]:<58s} {src}")
+
+
+if __name__ == "__main__":
+    main()
