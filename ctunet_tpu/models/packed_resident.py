@@ -49,6 +49,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.packed_conv import pack_weights_jax
 
@@ -184,13 +185,35 @@ def _upconv2_packed(a, kernel, bias, p, b=None, ca=None):
     """
     co = kernel.shape[3]
 
+    # Per-(dz,dy) LANE matmuls: out lane (2s+dx)*co+o = sum_i t lane
+    # s*ci+i * k[dz,dy,dx,o,i]. The weight matrix is kron-placed from the
+    # raw kernel (differentiable), so every materialized tensor — forward
+    # intermediates AND autodiff temps — keeps a ~p*co-dense minor dim.
+    # The previous einsum form ("nzyxsi,abcoi->nzaybxsco") materialized a
+    # co-minor intermediate (7 lanes at full res -> 18x tile padding):
+    # 21 ms per reshape + 15 ms copies in the 224x304x304 step profile
+    # (tools/attr_train.py). The final (d,2,h,2) -> (2d,2h) interleave
+    # reshape moves only MAJOR dims over dense lanes.
     def one(t, k):
-        nb, d, h, wp, _ = t.shape
         cit = k.shape[4]
-        tv = t.reshape(nb, d, h, wp, p, cit)
-        y = jnp.einsum(
-            "nzyxsi,abcoi->nzaybxsco", tv, k.astype(t.dtype)
-        )
+        mats = []
+        for dz in range(2):
+            for dy in range(2):
+                m = 0
+                for dx in range(2):
+                    e = np.zeros((p, 2 * p), np.float32)
+                    for s in range(p):
+                        e[s, 2 * s + dx] = 1.0
+                    m = m + jnp.kron(
+                        jnp.asarray(e, t.dtype),
+                        k[dz, dy, dx].T.astype(t.dtype),
+                    )
+                mats.append(m)  # (p*ci, 2p*co)
+        nb, d, h, wp, _ = t.shape
+        ys = [t @ m for m in mats]  # each (nb, d, h, wp, 2p*co)
+        y = jnp.stack(
+            [jnp.stack(ys[i: i + 2], 3) for i in (0, 2)], 2
+        )  # (nb, d, 2, h, 2, wp, 2p*co)
         return y.reshape(nb, 2 * d, 2 * h, wp, 2 * p * co)
 
     if b is None:
