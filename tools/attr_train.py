@@ -47,7 +47,10 @@ def main():
     from ctunet_tpu import problem, steps
     from ctunet_tpu.data.synthetic import spherical_shell
     from ctunet_tpu.models import build_model
+    from ctunet_tpu.ops import packed_conv
 
+    if "--impl" in sys.argv:
+        packed_conv.set_conv_impl(sys.argv[sys.argv.index("--impl") + 1])
     model = build_model("UNetSP", compute_dtype="bfloat16")
     if "--std" not in sys.argv:
         from ctunet_tpu.models.packed_resident import PackedResidentModel

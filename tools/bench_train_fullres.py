@@ -53,8 +53,13 @@ def main():
     if packed:
         from ctunet_tpu.models.packed_resident import PackedResidentModel
 
-        model = PackedResidentModel(model, "UNetSP", use_remat=True)
-        impl = impl + "+packed_resident"
+        policy = "default"
+        if "--remat" in sys.argv:
+            policy = sys.argv[sys.argv.index("--remat") + 1]
+        model = PackedResidentModel(
+            model, "UNetSP", use_remat=True, remat_policy=policy
+        )
+        impl = impl + f"+packed_resident({policy})"
     x = jnp.zeros((1, *shape, 2), jnp.bfloat16)
     variables = jax.jit(model.init, static_argnums=(2,))(
         jax.random.key(0), x, False
