@@ -368,7 +368,17 @@ def main():
         "foreground_voxels_sk": int((ref_sk > 0).sum()),
         "foreground_voxels_fl": int((ref_fl > 0).sum()),
     }
-    with open(os.path.join(REPO, "PARITY.json"), "w") as f:
+    out_path = os.path.join(REPO, "PARITY.json")
+    if "--merge" in sys.argv and os.path.exists(out_path):
+        # Partial re-measurement of the SAME checkpoint (e.g. adding QAT
+        # columns with a restricted --configs list): keep every previously
+        # measured column, overwrite the ones measured this run. Only
+        # valid when the weights are unchanged — guarded by the caller.
+        with open(out_path) as f:
+            merged = json.load(f)
+        merged.update(report)
+        report = merged
+    with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report, indent=1))
 
