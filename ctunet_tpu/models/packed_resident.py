@@ -195,7 +195,10 @@ def _upconv2_packed(a, kernel, bias, p, b=None, ca=None):
     # (tools/attr_train.py). The final (d,2,h,2) -> (2d,2h) interleave
     # reshape moves only MAJOR dims over dense lanes.
     def one(t, k):
-        cit = k.shape[4]
+        # Lane-count precondition: t's minor dim must be exactly p packed
+        # groups of k's input channels, or the kron-placed matmul below
+        # fails with an opaque shape error.
+        assert t.shape[-1] == p * k.shape[4], (t.shape, p, k.shape)
         mats = []
         for dz in range(2):
             for dy in range(2):

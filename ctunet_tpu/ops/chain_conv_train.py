@@ -273,8 +273,8 @@ def packed_chain_supported(xq: jax.Array, kernel: jax.Array,
     cin, cout = int(kernel.shape[3]), int(kernel.shape[4])
     if pack < 2 or int(xq.shape[-1]) != pack * cin:
         return False
-    if int(xq.shape[2]) % 2 and int(xq.shape[2]) > 1:
-        pass  # any H works (h_tile=1 always divides)
+    # (No H-dimension constraint: the kernel runs h_tile=1, which divides
+    # any H.)
     return all(_round_up(pack * c, 128) <= 512 for c in (cin, cout))
 
 
@@ -287,8 +287,20 @@ def _split_conv_packed_one(v: jax.Array, kernel: jax.Array, pack: int,
     wm, wc = pack_weights_split_jax(kernel, pack, v.dtype)
     pb = jnp.zeros((1, wm.shape[2]), jnp.float32)
     xc = pc.to_chain(v, pack)
+    # Tighter VMEM budget than the engine default: the training graph hits
+    # shapes the engine never compiles standalone (e.g. the full-res 28->7
+    # decoder conv at cin_p=512 — the engine fuses it into the half-res
+    # upsample+conv), and at those shapes Mosaic's real stack exceeds the
+    # picker's scratch estimate (measured: est 11.4 MB -> actual 16.01 MB
+    # at ht=38, 12 KB over the 16 MB scoped-vmem limit). 7 MB estimated
+    # keeps the worst measured shape at ~8.5 MB actual.
+    wpad = xc.shape[1] // (hh + 2)
+    h_tile = pc._pick_chain_h_tile_split(
+        hh, wpad, xc.shape[-1], wc.shape[-2], wm.shape[2], quant=False,
+        vmem_budget=7 * 2**20,
+    )
     yc = pc.conv3d_chain_split(
-        xc, wm, wc, pb, hh, wp, pack, cin, relu=False,
+        xc, wm, wc, pb, hh, wp, pack, cin, relu=False, h_tile=h_tile,
         interpret=interpret, out_dtype=v.dtype,
     )
     return pc.from_chain(yc, hh, wp, pack * cout)

@@ -120,10 +120,24 @@ def main():
         return
     with gzip.open(ts[-1], "rt") as f:
         events = json.load(f).get("traceEvents", [])
+    # Sum only the per-op device rows ("XLA Ops" threads). Module-level
+    # rows ("XLA Modules") and host threads cover the same wall time, so
+    # summing every ph=='X' event double-counts durations (ADVICE r3).
+    op_tids = {
+        (ev.get("pid"), ev.get("tid"))
+        for ev in events
+        if ev.get("ph") == "M" and ev.get("name") == "thread_name"
+        and ev.get("args", {}).get("name") == "XLA Ops"
+    }
     tot = collections.defaultdict(float)
     for ev in events:
-        if ev.get("ph") == "X" and "dur" in ev:
+        if (ev.get("ph") == "X" and "dur" in ev
+                and (not op_tids
+                     or (ev.get("pid"), ev.get("tid")) in op_tids)):
             tot[ev.get("name", "?")] += float(ev["dur"])
+    if not op_tids:
+        print("WARNING: no 'XLA Ops' thread metadata found — summing all "
+              "duration events (totals may double-count module rows)")
 
     cats = collections.defaultdict(float)
     for name, dur in tot.items():

@@ -148,6 +148,16 @@ def main():
             ))
             print(f"saved trained checkpoint to {ckpt_path}")
 
+    # Weights fingerprint: --merge is only valid against the SAME
+    # checkpoint; a merge over retrained weights would silently publish
+    # mixed-provenance parity numbers (ADVICE r3).
+    import hashlib
+
+    h = hashlib.sha256()
+    for leaf in jax.tree.leaves(variables["params"]):
+        h.update(np.asarray(leaf, np.float32).tobytes())
+    ckpt_fingerprint = h.hexdigest()[:16]
+
     # Held-out test inputs: broken skulls (fixed-seed virtual craniectomy)
     # — synthetic shells by default, REAL complete skulls with --csv.
     shape = SHAPE
@@ -367,15 +377,24 @@ def main():
         },
         "foreground_voxels_sk": int((ref_sk > 0).sum()),
         "foreground_voxels_fl": int((ref_fl > 0).sum()),
+        "ckpt_fingerprint": ckpt_fingerprint,
     }
     out_path = os.path.join(REPO, "PARITY.json")
     if "--merge" in sys.argv and os.path.exists(out_path):
         # Partial re-measurement of the SAME checkpoint (e.g. adding QAT
         # columns with a restricted --configs list): keep every previously
-        # measured column, overwrite the ones measured this run. Only
-        # valid when the weights are unchanged — guarded by the caller.
+        # measured column, overwrite the ones measured this run. The
+        # sha256 params fingerprint guards against merging numbers from
+        # different weights (ADVICE r3).
         with open(out_path) as f:
             merged = json.load(f)
+        old_fp = merged.get("ckpt_fingerprint")
+        if old_fp is not None and old_fp != ckpt_fingerprint:
+            raise SystemExit(
+                f"--merge refused: PARITY.json was measured on checkpoint "
+                f"{old_fp}, this run evaluates {ckpt_fingerprint}. Run "
+                f"without --merge to replace the report."
+            )
         merged.update(report)
         report = merged
     with open(out_path, "w") as f:
