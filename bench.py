@@ -170,6 +170,98 @@ def measure_jax(n_iters: int = 10):
     except Exception as e:
         print(f"int8 engine path failed: {type(e).__name__}: {e}",
               file=sys.stderr)
+
+    # Foreground-cropped int8 serving on a REALISTIC skull (the coarse
+    # sparsity lever: in-kernel constant-region skipping measured a net
+    # loss — BASELINE.md — but a CT skull's nonzero bbox is much smaller
+    # than the canvas, and kernel time is shape-proportional). The dense
+    # engines above are input-independent (no data-dependent branches),
+    # so their noise-input timings stand; the crop gain is content-
+    # dependent and is measured on the same synthetic skull geometry the
+    # parity harness uses (serving: b_fg_crop; parity: PARITY.json crop
+    # columns).
+    try:
+        from ctunet_tpu.data.synthetic import spherical_shell
+        from ctunet_tpu.ops import foreground
+
+        vol = spherical_shell(SHAPE, radius_frac=0.4).astype(np.float32)
+        atlas = spherical_shell(SHAPE, radius_frac=0.42).astype(np.float32)
+        x_sk = jnp.asarray(
+            np.stack([vol, atlas], -1)[None], jnp.bfloat16
+        )
+        plan = foreground.plan_crop(vol, margin=16, multiple=16)
+        if plan is not None:
+            offs, sizes = plan
+            print(f"fg crop: offsets {offs} sizes {sizes} "
+                  f"({np.prod(sizes) / np.prod(SHAPE):.2f}x voxels)",
+                  file=sys.stderr)
+            sl = (slice(None),) + foreground.crop_slices(offs, sizes)
+            predict_qc = engine_q.build_predict_q(
+                "UNetSP", variables, x_sk[sl][0]
+            )
+
+            @jax.jit
+            def engine_qc_sum(variables_unused, x):
+                out = predict_qc(x[sl])  # static on-device crop
+                return sum(
+                    jnp.sum(o.astype(jnp.float32))
+                    for o in jax.tree.leaves(out)
+                )
+
+            def timed_sk(fn, label):
+                return timed(
+                    lambda v, _x: fn(v, x_sk), label
+                )
+
+            sec_qc = timed_sk(engine_qc_sum, "jax UNetSP (int8 + fg crop)")
+            if sec_qc < sec:
+                sec, best_fn = sec_qc, (
+                    lambda v, _x: engine_qc_sum(v, x_sk)
+                )
+
+            # Multi-volume dispatch: lax.scan over K volumes amortizes
+            # the per-dispatch gap (~2.6 ms/volume under the axon tunnel)
+            # into one dispatch per K.
+            K = 4
+            xk = jnp.broadcast_to(x_sk, (K,) + x_sk.shape[1:])
+
+            @jax.jit
+            def engine_qc_scan_sum(variables_unused, xk):
+                def body(c, x1):
+                    out = predict_qc(x1[None][sl])
+                    return c, sum(
+                        jnp.sum(o.astype(jnp.float32))
+                        for o in jax.tree.leaves(out)
+                    )
+
+                _, sums = jax.lax.scan(body, 0, xk)
+                return jnp.sum(sums)
+
+            t0 = time.perf_counter()
+            float(engine_qc_scan_sum(variables, xk))
+            print(
+                f"scan-of-{K} compile+first: {time.perf_counter()-t0:.1f}s",
+                file=sys.stderr,
+            )
+            times = []
+            for _ in range(max(3, n_iters // K)):
+                t0 = time.perf_counter()
+                float(engine_qc_scan_sum(variables, xk))
+                times.append((time.perf_counter() - t0) / K)
+            sec_scan = min(times)
+            print(
+                f"jax UNetSP (int8 + fg crop, scan-of-{K}): "
+                f"{sec_scan * 1000:.1f}ms/volume -> "
+                f"{1.0 / sec_scan:.2f} volumes/sec",
+                file=sys.stderr,
+            )
+            if sec_scan < sec:
+                sec, best_fn = sec_scan, (
+                    lambda v, _x: engine_qc_sum(v, x_sk)
+                )
+    except Exception as e:
+        print(f"fg-crop path failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
     print(
         f"jax UNetSP: best of {n_iters}: {sec * 1000:.1f}ms -> "
         f"{1.0 / sec:.2f} volumes/sec",

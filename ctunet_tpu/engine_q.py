@@ -69,7 +69,11 @@ def calibrate(
     """Run one eager bf16 engine forward, recording per-lane maxima of
     every produced chained tensor (in production order).
 
-    :param calib_volume: (D, H, W, Cin) representative input (NOT batched).
+    :param calib_volume: (D, H, W, Cin) representative input (NOT batched),
+        or (K, D, H, W, Cin): K samples whose per-lane maxima are combined
+        elementwise (grid-sample calibration for patch serving — a single
+        central patch clips border patches, ADVICE r2; pass a sample of
+        grid patches instead).
     :param quantile: 1.0 (default) records plain maxima; < 1.0 records
         the per-lane |t| quantile instead (clipped calibration;
         out-of-range activations saturate at the requant clamp). MEASURED:
@@ -81,6 +85,18 @@ def calibrate(
         Chain tensors carry halo/pad zeros (~20% of rows) which only
         lower the quantile slightly.
     """
+    calib_volume = jnp.asarray(calib_volume)
+    if calib_volume.ndim == 5:
+        combined: List[np.ndarray] = []
+        for i in range(calib_volume.shape[0]):
+            recs = calibrate(model_class, variables, calib_volume[i],
+                             interpret=interpret, quantile=quantile)
+            if not combined:
+                combined = recs
+            else:
+                combined = [np.maximum(a, b)
+                            for a, b in zip(combined, recs)]
+        return combined
     records: List[np.ndarray] = []
 
     def rec(t):
@@ -363,7 +379,9 @@ def build_predict_q(
     lc_k = engine._np(params["last_conv"]["kernel"])[0, 0, 0]  # (Ca+Cb, O)
     lc_b = engine._np(params["last_conv"]["bias"])
 
-    d, hh0, ww, cin0 = (int(s) for s in calib_volume.shape)
+    # (K, D, H, W, C) = grid-sample calibration: K samples, maxima
+    # combined in ``calibrate`` (all samples share the serving shape)
+    d, hh0, ww, cin0 = (int(s) for s in calib_volume.shape[-4:])
 
     # ---- static plan: packs/shapes per step (raises if unsupported) -----
     # Mirrors the bf16 engine's branch structure: chain pooling while the
@@ -853,8 +871,10 @@ def build_predict_q_opt(
     cb = (
         np.asarray(calib_batch, np.float32)
         if calib_batch is not None
-        else np.asarray(calib_volume, np.float32)[None]
+        else np.asarray(calib_volume, np.float32)
     )
+    if cb.ndim == 4:  # single volume -> batch of one
+        cb = cb[None]
     refined: Dict[str, Any] = {}
     ropt = quant_opt.optimize_rounding(
         model_class, variables, cb, scales,

@@ -218,14 +218,27 @@ def make_predict_fn(
     """Whole-volume inference: (variables, images (B,D,H,W)) -> model out.
 
     The reference's test path (``Model.py:298-380``): eval mode, no grad,
-    whole volume in one shot.
+    whole volume in one shot. ``offsets`` (a (3,) int vector) supports the
+    foreground-crop serving mode: images are a crop of the canvas and the
+    atlas channel is sliced at the same offsets so the spatial prior stays
+    registered (zero offsets + full-size images = the plain path).
     """
     atlas_c = None if atlas is None else jnp.asarray(atlas, jnp.float32)
 
     @jax.jit
-    def predict(variables, images):
-        x = _net_input(images, atlas_c, compute_dtype)
+    def _predict(variables, images, offsets):
+        at = atlas_c
+        if at is not None and images.shape[1:] != at.shape:
+            at = jax.lax.dynamic_slice(
+                at, (offsets[0], offsets[1], offsets[2]), images.shape[1:]
+            )
+        x = _net_input(images, at, compute_dtype)
         return model.apply(variables, x, False)
+
+    def predict(variables, images, offsets=None):
+        if offsets is None:
+            offsets = jnp.zeros((3,), jnp.int32)
+        return _predict(variables, images, jnp.asarray(offsets, jnp.int32))
 
     return predict
 

@@ -56,6 +56,16 @@ _POOL_MULTIPLE = {
 }
 
 
+def _np_corners(offs, sizes):
+    """The 8 corner coordinates of a crop box (canvas coords)."""
+    import itertools
+
+    return [
+        tuple(o if lo else o + s - 1 for o, s, lo in zip(offs, sizes, bits))
+        for bits in itertools.product((True, False), repeat=len(offs))
+    ]
+
+
 class _ScalarWriter:
     """TensorBoard scalar writer + in-memory history.
 
@@ -784,12 +794,22 @@ class Model:
                 else jax.device_put(jnp.asarray(atlas, compute_dtype))
             )
 
-            def predict(variables_unused, images):
+            def predict(variables_unused, images, offsets=None):
                 chans = [images.astype(compute_dtype)]
                 if atlas_dev is not None:
-                    chans.append(
-                        jnp.broadcast_to(atlas_dev[None], images.shape)
-                    )
+                    at = atlas_dev
+                    if tuple(images.shape[1:]) != tuple(at.shape):
+                        # foreground-crop serving: keep the atlas prior
+                        # registered by slicing it at the crop offsets
+                        offs = jnp.asarray(
+                            offsets if offsets is not None else (0, 0, 0),
+                            jnp.int32,
+                        )
+                        at = jax.lax.dynamic_slice(
+                            at, (offs[0], offs[1], offs[2]),
+                            images.shape[1:],
+                        )
+                    chans.append(jnp.broadcast_to(at[None], images.shape))
                 x = jnp.stack(chans, axis=-1)
                 shape = tuple(x.shape[1:])
                 if use_q and shape not in q_by_shape:
@@ -1000,6 +1020,18 @@ class Model:
         import concurrent.futures as cf
         import time as _time
 
+        from .ops import foreground
+
+        # Foreground cropping (``b_fg_crop``): run the engine on the
+        # nonzero bounding box + margin, paste the mask back on host.
+        # Whole-volume path only; offsets snap to the pool multiple so
+        # pooling grids stay aligned (ops/foreground.py; parity measured
+        # by tools/parity_check.py --crop).
+        fg_on = bool(self.params.get("fg_crop")) and not bool(
+            self.params.get("patch_inference")
+        )
+        fg_margin = int(self.params.get("fg_margin") or 16)
+
         depth = max(1, int(self.params.get("prefetch_depth") or 2))
         pending: collections.deque = collections.deque()
         write_futs = []
@@ -1040,7 +1072,7 @@ class Model:
             return packed if packed is not None else jax.device_put(padded)
 
         def flush_one(pool):
-            out, batch, padded_shape = pending.popleft()
+            out, batch, padded_shape, crop_info = pending.popleft()
             images = batch["image"]
 
             def unpad_np(a):
@@ -1051,6 +1083,25 @@ class Model:
                     a = np.unpackbits(a, axis=-1, count=n).reshape(
                         (a.shape[0],) + padded_shape
                     )
+                if crop_info is not None:
+                    offs, full_shape = crop_info
+                    # Background fill = the model's constant empty-space
+                    # class, read off a crop CORNER that sits in empty
+                    # input (the margin guarantees one unless the bbox
+                    # touches the canvas edge on every axis).
+                    bg = 0
+                    for corner in _np_corners(offs, a.shape[-3:]):
+                        probe = tuple(
+                            min(c, s - 1)
+                            for c, s in zip(corner, images.shape[1:])
+                        )
+                        if images[(0,) + probe] == 0:
+                            local = tuple(
+                                c - o for c, o in zip(corner, offs)
+                            )
+                            bg = int(a[(0,) + local])
+                            break
+                    a = foreground.paste_full(a, offs, full_shape, bg)
                 sl = tuple(slice(0, s) for s in images.shape[1:])
                 return a[(slice(None),) + sl]
 
@@ -1072,11 +1123,26 @@ class Model:
                 images = batch["image"]
                 pads = [(0, -s % multiple) for s in images.shape[1:]]
                 padded = _t("pad", np.pad, images, [(0, 0)] + pads)
+                crop_info = None
+                if fg_on and padded.shape[0] == 1:
+                    plan = foreground.plan_crop(
+                        padded[0], margin=fg_margin, multiple=multiple
+                    )
+                    if plan is not None:
+                        offs, sizes = plan
+                        full_shape = padded.shape[1:]
+                        padded = np.ascontiguousarray(
+                            padded[(slice(None),)
+                                   + foreground.crop_slices(offs, sizes)]
+                        )
+                        crop_info = (offs, full_shape)
                 up = _t("upload", _upload, padded)
                 out = _t("dispatch", lambda: _hardify(
-                    predict(variables, up)
+                    predict(variables, up, crop_info[0])
+                    if crop_info is not None
+                    else predict(variables, up)
                 ))
-                pending.append((out, batch, padded.shape[1:]))
+                pending.append((out, batch, padded.shape[1:], crop_info))
                 if len(pending) >= depth:
                     flush_one(pool)
             while pending:

@@ -77,6 +77,12 @@ def default_params() -> Dict[str, Any]:
                                       # forwards; exact — see
                                       # ops/sliding_window.py)
         "use_engine": True,           # fused Pallas inference engine
+        "fg_crop": False,             # [tpu] serve the foreground bbox +
+                                      # margin instead of the whole canvas
+                                      # (ops/foreground.py; mask pasted
+                                      # back on host, parity measured by
+                                      # parity_check --crop)
+        "fg_margin": 16,              # [tpu] crop margin (voxels/side)
         "use_int8": False,            # calibrated int8 serving engine
                                       # (PTQ; calibrates on the first test
                                       # volume, falls back to bf16 engine)

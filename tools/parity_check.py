@@ -12,7 +12,23 @@ Writes ``PARITY.json`` at the repo root; ``bench.py`` surfaces it as the
 
 Usage: PYTHONPATH=. python tools/parity_check.py [--steps N]
            [--ckpt PATH] [--csv FILES.csv [--atlas ATLAS.nii.gz]]
-           [--configs h:t:aq,...]
+           [--configs h:t:aq,...] [--model UNetSPSmall] [--crop] [--patch]
+
+``--model``: model family to train/evaluate (default UNetSP). Non-default
+models prefix their report keys (UNetSPSmall -> ``sm_``) and keep their
+own checkpoint fingerprint, so ``--merge`` composes multi-model reports.
+
+``--crop``: foreground-crop serving parity at the HEADLINE serve shape
+(224x304x304 — the bench.py config): whole-volume torch reference vs this
+framework's ``b_fg_crop`` path (bf16 + int8 engines on the planned crop,
+mask pasted back; ops/foreground.py). Grades the round-4 headline's
+accuracy. Requires --ckpt with trained weights.
+
+``--patch``: sliding-window parity at the 512 config shape (224x512x512,
+UNetSPSmall): whole-volume torch reference vs the patch-served bf16 and
+GRID-CALIBRATED int8 engines (0.25 overlap — the recommended beyond-HBM
+recipe, BASELINE.md). Closes ADVICE r2's central-patch calibration gap.
+Use with --model UNetSPSmall.
 
 ``--ckpt``: orbax checkpoint path. When it exists, training is SKIPPED
 and the checkpoint is evaluated (cheap engine-variant re-measurement on
@@ -46,6 +62,11 @@ sys.path.insert(0, REPO)
 
 SHAPE = (64, 128, 128)
 N_TEST = 5
+MODEL = (sys.argv[sys.argv.index("--model") + 1]
+         if "--model" in sys.argv else "UNetSP")
+# key prefix for non-default models so --merge composes one report
+PREFIX = ("" if MODEL == "UNetSP"
+          else "sm_" if MODEL == "UNetSPSmall" else MODEL.lower() + "_")
 
 
 def train(steps_n: int):
@@ -60,7 +81,7 @@ def train(steps_n: int):
     from ctunet_tpu.data.synthetic import spherical_shell
     from ctunet_tpu.models import build_model
 
-    model = build_model("UNetSP", compute_dtype="bfloat16")
+    model = build_model(MODEL, compute_dtype="bfloat16")
     x = jnp.zeros((1, *SHAPE, 2), jnp.bfloat16)
     variables = jax.jit(model.init, static_argnums=(2,))(
         jax.random.key(0), x, False
@@ -132,8 +153,8 @@ def main():
         base = os.path.basename(ckpt_path)
         if "10k" in base:
             steps_n = 10000
-        model = build_model("UNetSP", compute_dtype="bfloat16")
-        variables = ckpt_mod.load_any(ckpt_path, "UNetSP")
+        model = build_model(MODEL, compute_dtype="bfloat16")
+        variables = ckpt_mod.load_any(ckpt_path, MODEL)
         atlas = spherical_shell(SHAPE, radius_frac=0.42).astype("float32")
     else:
         model, variables, atlas = train(steps_n)
@@ -218,7 +239,7 @@ def main():
     x_all = np.stack([tests, atlas_b], -1)  # (N, D, H, W, 2)
 
     # --- this framework: fused engine (bf16, the serving path) ---
-    predict = engine.build_predict("UNetSP", variables)
+    predict = engine.build_predict(MODEL, variables)
     outs = predict(jnp.asarray(x_all, jnp.bfloat16))
     ours_sk = np.argmax(np.asarray(outs[0], np.float32), -1)
     ours_fl = np.argmax(np.asarray(outs[1], np.float32), -1)
@@ -253,13 +274,13 @@ def main():
             if aq:
                 # aq=1: AdaQuant weight rounding; aq=2: + learned scales
                 predict_q = engine_q.build_predict_q_opt(
-                    "UNetSP", variables, calib,
+                    MODEL, variables, calib,
                     bf16_tail=tail, bf16_head=head,
                     learn_scales=(aq >= 2),
                 )
             else:
                 predict_q = engine_q.build_predict_q(
-                    "UNetSP", variables, calib,
+                    MODEL, variables, calib,
                     bf16_tail=tail, bf16_head=head,
                 )
             outs_q = predict_q(jnp.asarray(x_all, jnp.bfloat16))
@@ -284,8 +305,8 @@ def main():
         qat_path = os.path.abspath(
             sys.argv[sys.argv.index("--qat-ckpt") + 1])
         print(f"evaluating QAT checkpoint {qat_path}", flush=True)
-        variables_qat = ckpt_mod.load_any(qat_path, "UNetSP")
-        predict_bq = engine.build_predict("UNetSP", variables_qat)
+        variables_qat = ckpt_mod.load_any(qat_path, MODEL)
+        predict_bq = engine.build_predict(MODEL, variables_qat)
         outs_bq = predict_bq(jnp.asarray(x_all, jnp.bfloat16))
         qat_masks["bf16_qat"] = (
             np.argmax(np.asarray(outs_bq[0], np.float32), -1),
@@ -294,7 +315,7 @@ def main():
         for label, aq in (("int8_qat", 0), ("int8_qat_aq", 1)):
             build = (engine_q.build_predict_q_opt if aq
                      else engine_q.build_predict_q)
-            predict_q = build("UNetSP", variables_qat, calib)
+            predict_q = build(MODEL, variables_qat, calib)
             outs_q = predict_q(jnp.asarray(x_all, jnp.bfloat16))
             qat_masks[label] = (
                 np.argmax(np.asarray(outs_q[0], np.float32), -1),
@@ -306,7 +327,7 @@ def main():
     # dtype-insensitivity reference against the torch f32 run
     from ctunet_tpu.models import build_model
 
-    model32 = build_model("UNetSP", compute_dtype="float32")
+    model32 = build_model(MODEL, compute_dtype="float32")
     fwd = jax.jit(lambda v, x: model32.apply(v, x, False))
     outs32 = fwd(variables, jnp.asarray(x_all, jnp.float32))
     ours32_sk = np.argmax(np.asarray(outs32[0], np.float32), -1)
@@ -322,11 +343,11 @@ def main():
     )
     ref = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(ref)
-    tm = ref.UNetSP()
+    tm = getattr(ref, MODEL)()
     full_sd = tm.state_dict()
     full_sd.update({
         k: torch.tensor(v) for k, v in
-        export_state_dict(variables, "UNetSP").items()
+        export_state_dict(variables, MODEL).items()
     })
     tm.load_state_dict(full_sd)
     tm.eval()
@@ -345,6 +366,177 @@ def main():
         inter = float(np.sum((a > 0) & (b > 0)))
         sa, sb = float(np.sum(a > 0)), float(np.sum(b > 0))
         return 2.0 * inter / (sa + sb) if (sa + sb) else 1.0
+
+    def torch_masks(vols_np):
+        """Whole-volume torch reference masks for (N, D, H, W, 2) inputs."""
+        sks, fls = [], []
+        with torch.no_grad():
+            for i in range(vols_np.shape[0]):
+                xt = torch.tensor(vols_np[i][None]).permute(0, 4, 1, 2, 3)
+                o_sk, o_fl = tm(xt)
+                sks.append(o_sk.numpy().argmax(1)[0])
+                fls.append(o_fl.numpy().argmax(1)[0])
+                print(f"  torch reference {i+1}/{vols_np.shape[0]} "
+                      f"at {vols_np.shape[1:4]} done", flush=True)
+        return np.stack(sks), np.stack(fls)
+
+    def probe_bg(mask, images, offs, sizes):
+        """Background class for paste-back: the mask value at a crop
+        CORNER whose input voxel is empty (the serving loop's probe —
+        trainer.py flush_one)."""
+        import itertools
+
+        for bits in itertools.product((True, False), repeat=3):
+            corner = tuple(o if lo else o + s - 1
+                           for o, s, lo in zip(offs, sizes, bits))
+            probe = tuple(min(c, s - 1)
+                          for c, s in zip(corner, images.shape))
+            if images[probe] == 0:
+                local = tuple(c - o for c, o in zip(corner, offs))
+                return int(mask[local])
+        return 0
+
+    # --- foreground-crop serving parity at the headline shape (--crop) ---
+    crop_cols = {}
+    if "--crop" in sys.argv:
+        from ctunet_tpu.ops import foreground
+
+        SERVE = (224, 304, 304)
+        n_c = 3
+        atlas_s = spherical_shell(SERVE, radius_frac=0.42).astype("float32")
+        tests_s = []
+        for i in range(n_c):
+            full = spherical_shell(SERVE, seed=1700 + i).astype("float32")
+            broken, _ = synthesis.skull_random_hole(
+                jax.random.key(8000 + i), jnp.asarray(full))
+            tests_s.append(np.asarray(broken, np.float32))
+        plans = [foreground.plan_crop(t, margin=16, multiple=16)
+                 for t in tests_s]
+        assert all(p is not None for p in plans), "crop plan degenerate"
+        # shared crop SIZE across volumes -> one engine compile (offsets
+        # stay per-volume); production batching does the same
+        sizes = tuple(int(max(p[1][ax] for p in plans)) for ax in range(3))
+        plans = [foreground.plan_crop(t, margin=16, multiple=16,
+                                      min_size=sizes) for t in tests_s]
+        crop_cols["crop_voxel_frac"] = round(
+            float(np.prod(sizes)) / float(np.prod(SERVE)), 4)
+        print(f"crop parity: serve {SERVE}, crop {sizes} "
+              f"({crop_cols['crop_voxel_frac']:.2f}x voxels)", flush=True)
+
+        x_serve = np.stack([np.stack([t, atlas_s], -1) for t in tests_s])
+        ref_sk_s, ref_fl_s = torch_masks(x_serve)
+
+        # whole-volume engine at serve shape: the no-crop baseline column
+        wv_sk, wv_fl = [], []
+        for i in range(n_c):
+            o = predict(jnp.asarray(x_serve[i][None], jnp.bfloat16))
+            wv_sk.append(np.argmax(np.asarray(o[0], np.float32), -1)[0])
+            wv_fl.append(np.argmax(np.asarray(o[1], np.float32), -1)[0])
+        crop_cols["dice_sk_full304_bf16"] = round(
+            dice(np.stack(wv_sk), ref_sk_s), 6)
+        crop_cols["dice_fl_full304_bf16"] = round(
+            dice(np.stack(wv_fl), ref_fl_s), 6)
+
+        x_crop = np.stack([
+            np.stack([t[foreground.crop_slices(offs, szs)],
+                      atlas_s[foreground.crop_slices(offs, szs)]], -1)
+            for t, (offs, szs) in zip(tests_s, plans)])
+
+        calib_full_s = spherical_shell(SERVE, seed=1777).astype("float32")
+        calib_broken_s, _ = synthesis.skull_random_hole(
+            jax.random.key(8999), jnp.asarray(calib_full_s))
+        cplan = foreground.plan_crop(np.asarray(calib_broken_s, np.float32),
+                                     margin=16, multiple=16, min_size=sizes)
+        csl = foreground.crop_slices(*cplan)
+        calib_crop = jnp.asarray(np.stack(
+            [np.asarray(calib_broken_s, np.float32)[csl], atlas_s[csl]], -1
+        ), jnp.bfloat16)
+
+        for label, build in (
+            ("bf16", lambda: predict),
+            ("int8", lambda: engine_q.build_predict_q(
+                MODEL, variables, calib_crop)),
+        ):
+            pc_fn = build()
+            m_sk, m_fl = [], []
+            for i, (offs, szs) in enumerate(plans):
+                o = pc_fn(jnp.asarray(x_crop[i][None], jnp.bfloat16))
+                sk_c = np.argmax(np.asarray(o[0], np.float32), -1)[0]
+                fl_c = np.argmax(np.asarray(o[1], np.float32), -1)[0]
+                m_sk.append(foreground.paste_full(
+                    sk_c, offs, SERVE,
+                    probe_bg(sk_c, tests_s[i], offs, szs)))
+                m_fl.append(foreground.paste_full(
+                    fl_c, offs, SERVE,
+                    probe_bg(fl_c, tests_s[i], offs, szs)))
+            crop_cols[f"dice_sk_crop_{label}"] = round(
+                dice(np.stack(m_sk), ref_sk_s), 6)
+            crop_cols[f"dice_fl_crop_{label}"] = round(
+                dice(np.stack(m_fl), ref_fl_s), 6)
+            print(f"  crop {label} done: "
+                  f"sk {crop_cols[f'dice_sk_crop_{label}']} "
+                  f"fl {crop_cols[f'dice_fl_crop_{label}']}", flush=True)
+
+    # --- sliding-window parity at the 512 config shape (--patch) ---------
+    patch_cols = {}
+    if "--patch" in sys.argv:
+        from ctunet_tpu.ops.sliding_window import make_sliding_window_fn
+
+        SERVE5 = (224, 512, 512)
+        n_p = 2
+        atlas_p = spherical_shell(SERVE5, radius_frac=0.42).astype(
+            "float32")
+        tests_p = []
+        for i in range(n_p):
+            full = spherical_shell(SERVE5, seed=2700 + i).astype("float32")
+            broken, _ = synthesis.skull_random_hole(
+                jax.random.key(8200 + i), jnp.asarray(full))
+            tests_p.append(np.asarray(broken, np.float32))
+        x_p = np.stack([np.stack([t, atlas_p], -1) for t in tests_p])
+        ref_sk_p, ref_fl_p = torch_masks(x_p)
+
+        # grid-sample int8 calibration: patches from the ACTUAL serving
+        # grid of a disjoint calib volume (ADVICE r2: central-patch
+        # calibration clips border patches)
+        calib_full_p = spherical_shell(SERVE5, seed=2777).astype("float32")
+        calib_broken_p = np.asarray(synthesis.skull_random_hole(
+            jax.random.key(9200), jnp.asarray(calib_full_p))[0], np.float32)
+        stride = 96  # 128 patch, 0.25 overlap
+        grid = [
+            (z, y, x)
+            for z in range(0, SERVE5[0] - 127, stride * 1)
+            for y in range(0, SERVE5[1] - 127, stride * 2)
+            for x in range(0, SERVE5[2] - 127, stride * 2)
+        ]
+        calib_patches = jnp.asarray(np.stack([
+            np.stack([calib_broken_p[z:z+128, y:y+128, x:x+128],
+                      atlas_p[z:z+128, y:y+128, x:x+128]], -1)
+            for (z, y, x) in grid
+        ]), jnp.bfloat16)
+        print(f"patch parity: {len(grid)} grid calibration patches",
+              flush=True)
+
+        predict_qp = engine_q.build_predict_q(
+            MODEL, variables, calib_patches)
+        for label, fn in (("bf16", predict), ("int8", predict_qp)):
+            sw = make_sliding_window_fn(
+                model, patch_size=128, overlap=0.25, atlas=atlas_p,
+                compute_dtype=jnp.bfloat16,
+                apply_fn=lambda v, xx, fn=fn: fn(xx), patch_batch=4,
+            )
+            m_sk, m_fl = [], []
+            for i in range(n_p):
+                o = sw(variables, jnp.asarray(tests_p[i][None]))
+                m_sk.append(np.argmax(np.asarray(o[0], np.float32), -1)[0])
+                m_fl.append(np.argmax(np.asarray(o[1], np.float32), -1)[0])
+            patch_cols[f"dice_sk_patch512_{label}_ov25"] = round(
+                dice(np.stack(m_sk), ref_sk_p), 6)
+            patch_cols[f"dice_fl_patch512_{label}_ov25"] = round(
+                dice(np.stack(m_fl), ref_fl_p), 6)
+            print(f"  patch {label} done: "
+                  f"sk {patch_cols[f'dice_sk_patch512_{label}_ov25']} "
+                  f"fl {patch_cols[f'dice_fl_patch512_{label}_ov25']}",
+                  flush=True)
 
     report = {
         "metric": "cross-framework mask Dice on 5 synthetic skulls "
@@ -375,25 +567,34 @@ def main():
                 f"dice_fl_engine_{label}": round(dice(m_fl, ref_fl), 6),
             }.items()
         },
+        **crop_cols,
+        **patch_cols,
         "foreground_voxels_sk": int((ref_sk > 0).sum()),
         "foreground_voxels_fl": int((ref_fl > 0).sum()),
         "ckpt_fingerprint": ckpt_fingerprint,
     }
+    if PREFIX:
+        report = {PREFIX + k: v for k, v in report.items()}
+        report[PREFIX + "metric"] = (
+            f"cross-framework mask Dice, {MODEL} variant (same harness; "
+            f"{PREFIX}ckpt_fingerprint identifies its own checkpoint)")
     out_path = os.path.join(REPO, "PARITY.json")
+    fp_key = PREFIX + "ckpt_fingerprint"
     if "--merge" in sys.argv and os.path.exists(out_path):
         # Partial re-measurement of the SAME checkpoint (e.g. adding QAT
         # columns with a restricted --configs list): keep every previously
         # measured column, overwrite the ones measured this run. The
         # sha256 params fingerprint guards against merging numbers from
-        # different weights (ADVICE r3).
+        # different weights (ADVICE r3); per-model fingerprints let
+        # multi-model reports compose.
         with open(out_path) as f:
             merged = json.load(f)
-        old_fp = merged.get("ckpt_fingerprint")
+        old_fp = merged.get(fp_key)
         if old_fp is not None and old_fp != ckpt_fingerprint:
             raise SystemExit(
-                f"--merge refused: PARITY.json was measured on checkpoint "
-                f"{old_fp}, this run evaluates {ckpt_fingerprint}. Run "
-                f"without --merge to replace the report."
+                f"--merge refused: PARITY.json[{fp_key}] was measured on "
+                f"checkpoint {old_fp}, this run evaluates "
+                f"{ckpt_fingerprint}. Run without --merge to replace."
             )
         merged.update(report)
         report = merged
