@@ -57,7 +57,8 @@ def main():
         if "--remat" in sys.argv:
             policy = sys.argv[sys.argv.index("--remat") + 1]
         model = PackedResidentModel(
-            model, "UNetSP", use_remat=True, remat_policy=policy
+            model, "UNetSP", use_remat=(policy != "none"),
+            remat_policy=policy if policy != "none" else "default",
         )
         impl = impl + f"+packed_resident({policy})"
     x = jnp.zeros((1, *shape, 2), jnp.bfloat16)

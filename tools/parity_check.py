@@ -573,6 +573,21 @@ def main():
         "foreground_voxels_fl": int((ref_fl > 0).sum()),
         "ckpt_fingerprint": ckpt_fingerprint,
     }
+    if "dice_fl_engine_int8_h0_t0_aq" in report:
+        # VERDICT r3 item 5: the int8-vs-bf16 residual, declared in the
+        # driver-read artifact itself. Measured mitigations that did NOT
+        # close it (QAT task-loss/self-distillation, LSQ scales, clipped
+        # calibration, bf16 head/tail splits) are recorded in BASELINE.md;
+        # the dice_*_qat columns carry the QAT numbers when --qat-ckpt ran.
+        report["int8_ceiling_note"] = (
+            "declared PTQ ceiling: fully-int8 AdaQuant flap Dice "
+            f"{report['dice_fl_engine_int8_h0_t0_aq']} vs bf16 engine "
+            f"{report['dice_fl_engine_bf16']} on the same checkpoint; the "
+            "residual is encoder activation-requant rounding on the "
+            "sliver-thin flap (per-unit sweep, BASELINE.md). QAT measured "
+            "WORSE than PTQ+AdaQuant (dice_*_qat columns); serve bf16 "
+            "where mask-level parity matters, int8 for throughput."
+        )
     if PREFIX:
         report = {PREFIX + k: v for k, v in report.items()}
         report[PREFIX + "metric"] = (
