@@ -325,14 +325,29 @@ class PackedResidentModel:
             y = _conv_packed(xq, k, p)
             return _bn_relu_packed(y, pu["bn"], su, p, k.shape[-1], train)
 
+        # prevent_cse: jax.checkpoint's CSE-prevention gating miscompiles
+        # around the Pallas chain kernels on TPU — with conv_impl="chain"
+        # and the default prevent_cse=True, every encoder block's backward
+        # produced NaN gradients from the first step (bisected to: both
+        # chain convs of a block inside one checkpointed region; clean
+        # with remat off, clean with prevent_cse=False, clean per-conv).
+        # prevent_cse=False is numerically safe — its only risk is XLA
+        # CSE-ing the recompute with the forward, i.e. losing remat's
+        # memory saving, not correctness.
+        from ..ops import packed_conv as _pcv
+
+        ckpt_kw = (
+            {"prevent_cse": False}
+            if _pcv.get_conv_impl() == "chain" else {}
+        )
         if not self.use_remat:
             maybe_remat = lambda f: f  # noqa: E731
         elif self.remat_policy == "dots":
             maybe_remat = lambda f: jax.checkpoint(  # noqa: E731
-                f, policy=jax.checkpoint_policies.dots_saveable
+                f, policy=jax.checkpoint_policies.dots_saveable, **ckpt_kw
             )
         else:
-            maybe_remat = lambda f: jax.checkpoint(f)  # noqa: E731
+            maybe_remat = lambda f: jax.checkpoint(f, **ckpt_kw)  # noqa: E731
 
         def record(tag, i, ns0, ns1):
             if ns0 is not None:

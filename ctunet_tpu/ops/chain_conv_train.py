@@ -265,13 +265,28 @@ def pack_weights_split_jax(w: jax.Array, pack: int, dtype):
     return main, jnp.stack(corrs)
 
 
+_MIN_PACK = 2  # chain kernel only where pack >= this (trace-time knob)
+
+
+def set_chain_min_pack(n: int) -> None:
+    """Restrict the packed chain conv to levels with pack >= ``n``.
+
+    The kernel's advantage is concentrated at the FULL-RES levels (pack
+    16: fwd ~9 ms vs ~30 ms XLA at 224x304x304); at the deep, tiny levels
+    the to_chain/from_chain conversions and launch overhead outweigh the
+    kernel (full-chain measured 605 ms/step vs 581 all-XLA, no-remat).
+    ``set_chain_min_pack(16)`` applies the kernel only where it wins."""
+    global _MIN_PACK
+    _MIN_PACK = int(n)
+
+
 def packed_chain_supported(xq: jax.Array, kernel: jax.Array,
                            pack: int) -> bool:
     """Static gate: can the split chain kernel serve this packed conv?"""
     if tuple(kernel.shape[:3]) != (3, 3, 3):
         return False
     cin, cout = int(kernel.shape[3]), int(kernel.shape[4])
-    if pack < 2 or int(xq.shape[-1]) != pack * cin:
+    if pack < max(2, _MIN_PACK) or int(xq.shape[-1]) != pack * cin:
         return False
     # (No H-dimension constraint: the kernel runs h_tile=1, which divides
     # any H.)

@@ -233,3 +233,23 @@ def test_packed_resident_chain_impl_matches_xla(rng):
             np.asarray(a), np.asarray(b), atol=3e-3, rtol=2e-3,
             err_msg=jax.tree_util.keystr(ka),
         )
+
+
+def test_chain_min_pack_gate(rng):
+    """set_chain_min_pack restricts the packed chain conv to high-pack
+    (full-resolution) levels, where the kernel wins over XLA at training
+    shapes (BASELINE.md round 4)."""
+    from ctunet_tpu.ops import chain_conv_train as cct
+
+    xq4 = jnp.zeros((1, 4, 4, 2, 4 * 7), jnp.float32)
+    xq16 = jnp.zeros((1, 4, 4, 2, 16 * 7), jnp.float32)
+    w = jnp.zeros((3, 3, 3, 7, 7), jnp.float32)
+    assert cct.packed_chain_supported(xq4, w, 4)
+    assert cct.packed_chain_supported(xq16, w, 16)
+    try:
+        cct.set_chain_min_pack(16)
+        assert not cct.packed_chain_supported(xq4, w, 4)
+        assert cct.packed_chain_supported(xq16, w, 16)
+    finally:
+        cct.set_chain_min_pack(2)
+    assert cct.packed_chain_supported(xq4, w, 4)

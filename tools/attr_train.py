@@ -55,7 +55,12 @@ def main():
     if "--std" not in sys.argv:
         from ctunet_tpu.models.packed_resident import PackedResidentModel
 
-        model = PackedResidentModel(model, "UNetSP", use_remat=True)
+        policy = (sys.argv[sys.argv.index("--remat") + 1]
+                  if "--remat" in sys.argv else "default")
+        model = PackedResidentModel(
+            model, "UNetSP", use_remat=(policy != "none"),
+            remat_policy=policy if policy != "none" else "default",
+        )
     x = jnp.zeros((1, *shape, 2), jnp.bfloat16)
     variables = jax.jit(model.init, static_argnums=(2,))(
         jax.random.key(0), x, False

@@ -48,6 +48,12 @@ def main():
     from ctunet_tpu.ops import packed_conv
 
     packed_conv.set_conv_impl(impl)
+    if "--chain-min-pack" in sys.argv:
+        from ctunet_tpu.ops import chain_conv_train
+
+        mp = int(sys.argv[sys.argv.index("--chain-min-pack") + 1])
+        chain_conv_train.set_chain_min_pack(mp)
+        impl = impl + f"(minpack{mp})"
     model = build_model("UNetSP", compute_dtype="bfloat16")
     packed = "--packed" in sys.argv
     if packed:
