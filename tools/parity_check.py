@@ -264,8 +264,14 @@ def main():
         (0, 0, 2), (0.5, 0, 2),
     ]
     if "--configs" in sys.argv:
+        # normalize integral values to int so report keys match the
+        # default sweep's (h0_t0, not h0.0_t0.0)
+        def _num(v):
+            f = float(v)
+            return int(f) if f == int(f) else f
+
         configs = [
-            tuple(float(v) for v in triple.split(":"))
+            tuple(_num(v) for v in triple.split(":"))
             for triple in
             sys.argv[sys.argv.index("--configs") + 1].split(",")
         ]
