@@ -18,6 +18,7 @@ from typing import Any, Callable, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 
@@ -69,7 +70,12 @@ def make_crop_fn(train_patch, atlas):
     SAME per-sample offsets (the atlas is a spatial prior and must stay
     registered to its volume)."""
     patch = tuple(int(p) for p in train_patch)
-    atlas_c = None if atlas is None else jnp.asarray(atlas, jnp.float32)
+    # HOST-resident constant: a device-array closure makes jit lowering
+    # fetch its value D2H to embed the HLO literal (ir_constant ->
+    # Array._value) — a 4 MB fetch that repeatedly wedged the axon
+    # staging tunnel (round 4). A numpy closure embeds the same
+    # literal with no device round-trip.
+    atlas_c = None if atlas is None else np.asarray(atlas, np.float32)
 
     def one(key, volume):
         maxs = jnp.asarray(
@@ -99,6 +105,88 @@ def make_crop_fn(train_patch, atlas):
     return crop
 
 
+def make_fg_crop_fn(crop_size, atlas, margin: int = 16, multiple: int = 16):
+    """Batched FOREGROUND cropping with atlas alignment (training analog
+    of the serving crop, ``ops/foreground.py``).
+
+    Per-volume, fully on device: the first-nonzero index of each axis
+    profile gives the skull bbox's low corner; the crop offset is that
+    corner minus ``margin``, snapped DOWN to ``multiple`` (pool-grid
+    alignment) and clamped so the STATIC ``crop_size`` window stays on
+    the canvas. The image (and paired flap) and the atlas are sliced at
+    the same per-sample offsets, then synthesis/loss run on the crop.
+
+    ``crop_size`` must cover the dataset's foreground extent plus
+    margins — the trainer computes it from the data
+    (:func:`fg_crop_size_for`); a too-small size silently truncates the
+    skull's high end. Training on the crop is an OPT-IN accelerator
+    (``b_fg_crop_train``): the loss and BatchNorm statistics see crop
+    voxels only, so gradients differ from the whole-canvas run in the
+    empty-background term (measured convergence comparison in
+    BASELINE.md; the reference trains whole volumes only,
+    ``Model.py:324-380``).
+    """
+    size = tuple(int(s) for s in crop_size)
+    # HOST-resident constant: a device-array closure makes jit lowering
+    # fetch its value D2H to embed the HLO literal (ir_constant ->
+    # Array._value) — a 4 MB fetch that repeatedly wedged the axon
+    # staging tunnel (round 4). A numpy closure embeds the same
+    # literal with no device round-trip.
+    atlas_c = None if atlas is None else np.asarray(atlas, np.float32)
+
+    def offsets_of(volume):
+        offs = []
+        for ax in range(3):
+            other = tuple(i for i in range(3) if i != ax)
+            prof = jnp.any(volume != 0, axis=other)
+            lo = jnp.argmax(prof).astype(jnp.int32)  # 0 when empty
+            lo = jnp.maximum(lo - margin, 0)
+            lo = (lo // multiple) * multiple
+            offs.append(jnp.minimum(lo, volume.shape[ax] - size[ax]))
+        return jnp.stack(offs)
+
+    def crop(key, batch):
+        del key  # deterministic given the data; signature matches crop fns
+        images = batch["image"]
+        starts = jax.vmap(offsets_of)(images)
+        slice_ = lambda v, s: jax.lax.dynamic_slice(v, tuple(s), size)
+        out = dict(batch)
+        out["image"] = jax.vmap(slice_)(images, starts)
+        if "flap" in batch:
+            out["flap"] = jax.vmap(slice_)(batch["flap"], starts)
+        atlas_b = (
+            None if atlas_c is None
+            else jax.vmap(lambda s: slice_(atlas_c, s))(starts)
+        )
+        return out, atlas_b
+
+    return crop
+
+
+def fg_crop_size_for(volumes, canvas_shape, margin: int = 16,
+                     multiple: int = 16):
+    """Shared static crop size covering every volume's foreground bbox.
+
+    ``volumes`` is an iterable of (D, H, W) numpy arrays (e.g. the first
+    decode pass of the dataset). Returns the elementwise-max
+    ``plan_crop`` size, or ``None`` when no volume gains from cropping
+    (train whole-canvas instead)."""
+    from .ops import foreground
+
+    sizes = None
+    for vol in volumes:
+        plan = foreground.plan_crop(vol, margin=margin, multiple=multiple)
+        if plan is None:  # empty volume or no shrink on any axis
+            return None
+        sizes = (plan[1] if sizes is None
+                 else tuple(max(a, b) for a, b in zip(sizes, plan[1])))
+    if sizes is None or all(
+        s >= c for s, c in zip(sizes, canvas_shape)
+    ):
+        return None
+    return tuple(min(s, c) for s, c in zip(sizes, canvas_shape))
+
+
 def make_synth_fn(handler, from_pairs: bool = False) -> Callable:
     """Batched on-device synthesis: (key, batch dict) -> (images, targets)."""
 
@@ -126,6 +214,7 @@ def make_train_step(
     from_pairs: bool = False,
     donate: bool = True,
     train_patch=None,
+    fg_crop_size=None,
 ):
     """Build the jitted training step.
 
@@ -133,7 +222,12 @@ def make_train_step(
     is ``{'image': (B,D,H,W) f32[, 'flap': ...]}`` already on device.
     With ``train_patch``, volumes (and the atlas, at matched offsets) are
     randomly cropped on device before synthesis — patch-based training.
+    With ``fg_crop_size`` (exclusive with ``train_patch``), volumes are
+    foreground-cropped to that static size before synthesis
+    (:func:`make_fg_crop_fn` — the ``b_fg_crop_train`` accelerator).
     """
+    assert not (train_patch and fg_crop_size), (
+        "train_patch and fg_crop_size are mutually exclusive")
     if not (loss_cfg.get("ce_lambda") or loss_cfg.get("dice_lambda")):
         # The reference crashes on unset lambdas (``None * loss``,
         # ``ProblemHandler.py:70``); a silent all-zero loss would "train"
@@ -144,8 +238,15 @@ def make_train_step(
             "config (the reference example INIs set both to 1)."
         )
     synth = make_synth_fn(handler, from_pairs)
-    atlas_c = None if atlas is None else jnp.asarray(atlas, jnp.float32)
+    # HOST-resident constant: a device-array closure makes jit lowering
+    # fetch its value D2H to embed the HLO literal (ir_constant ->
+    # Array._value) — a 4 MB fetch that repeatedly wedged the axon
+    # staging tunnel (round 4). A numpy closure embeds the same
+    # literal with no device round-trip.
+    atlas_c = None if atlas is None else np.asarray(atlas, np.float32)
     crop = None if train_patch is None else make_crop_fn(train_patch, atlas)
+    if fg_crop_size is not None:
+        crop = make_fg_crop_fn(fg_crop_size, atlas)
 
     def step(state: TrainState, batch, key):
         atlas_x = atlas_c
@@ -187,11 +288,19 @@ def make_eval_step(
     compute_dtype=jnp.bfloat16,
     from_pairs: bool = False,
     train_patch=None,
+    fg_crop_size=None,
 ):
     """Validation step: synth targets, forward (running BN stats), losses."""
     synth = make_synth_fn(handler, from_pairs)
-    atlas_c = None if atlas is None else jnp.asarray(atlas, jnp.float32)
+    # HOST-resident constant: a device-array closure makes jit lowering
+    # fetch its value D2H to embed the HLO literal (ir_constant ->
+    # Array._value) — a 4 MB fetch that repeatedly wedged the axon
+    # staging tunnel (round 4). A numpy closure embeds the same
+    # literal with no device round-trip.
+    atlas_c = None if atlas is None else np.asarray(atlas, np.float32)
     crop = None if train_patch is None else make_crop_fn(train_patch, atlas)
+    if fg_crop_size is not None:
+        crop = make_fg_crop_fn(fg_crop_size, atlas)
 
     def step(state: TrainState, batch, key):
         atlas_x = atlas_c
@@ -223,7 +332,12 @@ def make_predict_fn(
     atlas channel is sliced at the same offsets so the spatial prior stays
     registered (zero offsets + full-size images = the plain path).
     """
-    atlas_c = None if atlas is None else jnp.asarray(atlas, jnp.float32)
+    # HOST-resident constant: a device-array closure makes jit lowering
+    # fetch its value D2H to embed the HLO literal (ir_constant ->
+    # Array._value) — a 4 MB fetch that repeatedly wedged the axon
+    # staging tunnel (round 4). A numpy closure embeds the same
+    # literal with no device round-trip.
+    atlas_c = None if atlas is None else np.asarray(atlas, np.float32)
 
     @jax.jit
     def _predict(variables, images, offsets):

@@ -353,6 +353,51 @@ class Model:
                 )
         return model
 
+    def _fg_train_size(self, im_shape):
+        """Static foreground-crop window for ``b_fg_crop_train``.
+
+        ``s_fg_train_size`` overrides; otherwise the elementwise-max
+        ``plan_crop`` size over (up to 64 of) the training volumes. The
+        snap multiple covers the model's pool depth so the packed-
+        resident training graph stays applicable. Returns None (train
+        whole-canvas) when cropping gains nothing."""
+        if not self.params.get("fg_crop_train"):
+            return None
+        multiple = 16
+        try:
+            from .models import packed_resident
+
+            cfg = packed_resident._CONFIGS.get(self.params["model_class"])
+            if cfg:
+                multiple = max(16, 2 ** cfg["n_blocks"])
+        except Exception:
+            pass
+        override = str(self.params.get("fg_train_size") or "").strip()
+        if override:
+            size = tuple(int(v) for v in
+                         override.replace("x", ",").split(","))
+            assert len(size) == 3, f"s_fg_train_size: {override!r}"
+            assert all(s % multiple == 0 for s in size), (
+                f"s_fg_train_size {size} must divide by {multiple}")
+            return size
+        loader = self.data.get("train_loader")
+        if loader is None:
+            return None
+        ds = loader.dataset
+        n = min(len(ds), 64)
+        margin = int(self.params.get("fg_margin") or 16)
+        size = steps.fg_crop_size_for(
+            (np.asarray(ds[i]["image"], np.float32) for i in range(n)),
+            im_shape, margin=margin, multiple=multiple,
+        )
+        if size is None:
+            print("fg_crop_train: no shrink on this dataset — training "
+                  "whole volumes")
+        else:
+            note = f" (from {n}/{len(ds)} volumes)" if n < len(ds) else ""
+            print(f"fg_crop_train: {im_shape} -> {size}{note}")
+        return size
+
     def _maybe_atlas(self, im_shape):
         if getattr(self.problem_handler, "append_atlas", False):
             self._atlas = atlas_mod.load_atlas(
@@ -442,15 +487,19 @@ class Model:
         handler = self.problem_handler
         tps = int(self.params.get("train_patch_size") or 0)
         train_patch = (tps, tps, tps) if tps > 0 else None
+        fg_size = (None if train_patch is not None
+                   else self._fg_train_size(self._sample_shape()[0]))
         train_step = steps.make_train_step(
             model, handler, optimizer, loss_cfg,
             atlas=self._atlas, compute_dtype=compute_dtype,
             from_pairs=self._from_pairs, train_patch=train_patch,
+            fg_crop_size=fg_size,
         )
         eval_step = steps.make_eval_step(
             model, handler, loss_cfg,
             atlas=self._atlas, compute_dtype=compute_dtype,
             from_pairs=self._from_pairs, train_patch=train_patch,
+            fg_crop_size=fg_size,
         )
         if self.process_count > 1:
             # multi-host: compile-then-barrier so no rank hits the first

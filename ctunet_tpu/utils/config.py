@@ -110,6 +110,17 @@ def default_params() -> Dict[str, Any]:
                                       # activation scales (LSQ-style)
                                       # and rebuild via import_scales
         "train_patch_size": 0,        # >0: random-crop patch training
+        "fg_crop_train": False,       # [tpu] foreground-crop TRAINING:
+                                      # train on the skull bbox + margin
+                                      # at a static, pool-aligned size
+                                      # computed from the data (or
+                                      # s_fg_train_size). Loss/BN see
+                                      # crop voxels only — opt-in
+                                      # accelerator, convergence measured
+                                      # in BASELINE.md
+        "fg_train_size": "",          # [tpu] "D,H,W" override for the
+                                      # fg_crop_train window (default:
+                                      # computed from the dataset bboxes)
         "prefetch_depth": 2,          # host->device pipeline depth
         "serve_profile": False,       # print per-stage serving-loop times
         "debug_nans": False,          # jax.debug_nans (ref: detect_anomaly)

@@ -124,3 +124,35 @@ def test_no_atlas_problem(synth, tmp_path):
     )
     m = Model(params=p)
     assert m.best_model["value"] is not None
+
+
+def test_fg_crop_training(synth):
+    """b_fg_crop_train through the public Model API: the train/eval
+    steps run on the static foreground window (explicit override here —
+    at 32^3 the auto-planned crop cannot gain against the pool
+    multiple) and the run still checkpoints a finite best loss."""
+    root, csv = synth
+    p = _params(
+        root, csv,
+        name="e2e_fgcrop",
+        n_epochs=1,
+        fg_crop_train=True,
+        fg_train_size="16,16,16",
+    )
+    m = Model(params=p)
+    assert m.best_model["value"] is not None
+    assert np.isfinite(m.best_model["value"])
+
+
+def test_fg_crop_training_auto_no_gain(synth):
+    """Auto-planned fg_crop_train on shells that fill the canvas: plans
+    None and falls back to whole-volume training transparently."""
+    root, csv = synth
+    p = _params(
+        root, csv,
+        name="e2e_fgcrop_auto",
+        n_epochs=1,
+        fg_crop_train=True,
+    )
+    m = Model(params=p)
+    assert m.best_model["value"] is not None

@@ -203,3 +203,85 @@ def test_crop_fn_atlas_alignment():
         np.asarray(batch["image"][0]), np.asarray(atlas_b[0])
     )
     assert batch["image"].shape == (1, 4, 4, 4)
+
+
+def test_fg_crop_fn_covers_foreground():
+    """Foreground crop: offsets snap to the multiple, the window covers
+    the bbox + margin, and the atlas is sliced at the same offsets."""
+    vol = np.zeros((32, 32, 32), np.float32)
+    vol[10:18, 6:14, 12:20] = 1.0  # bbox lows: 10, 6, 12
+    atlas = np.arange(32 ** 3, dtype=np.float32).reshape(32, 32, 32)
+    crop = steps.make_fg_crop_fn((16, 16, 16), atlas, margin=2, multiple=4)
+    batch, atlas_b = crop(jax.random.key(0), {"image": jnp.asarray(vol)[None]})
+    img_c = np.asarray(batch["image"][0])
+    assert img_c.shape == (16, 16, 16)
+    # all foreground voxels are inside the crop
+    assert img_c.sum() == vol.sum()
+    # offsets = floor((lo - margin)/4)*4 = (8, 4, 8); atlas matches
+    np.testing.assert_array_equal(
+        np.asarray(atlas_b[0]), atlas[8:24, 4:20, 8:24]
+    )
+
+
+def test_fg_crop_size_for_plans_shared_window():
+    vols = []
+    for lo in (4, 8):
+        v = np.zeros((32, 32, 32), np.float32)
+        v[lo:lo + 10, lo:lo + 6, lo:lo + 8] = 1.0
+        vols.append(v)
+    size = steps.fg_crop_size_for(vols, (32, 32, 32), margin=2,
+                                  multiple=8)
+    assert size is not None
+    # covers the larger bbox + margins, snapped up to 8
+    assert all(s % 8 == 0 for s in size)
+    assert all(s <= 32 for s in size)
+    # a volume filling the canvas -> no gain -> None
+    full = np.ones((32, 32, 32), np.float32)
+    assert steps.fg_crop_size_for([full], (32, 32, 32)) is None
+
+
+def test_fg_crop_training_step(setup):
+    """fg_crop_size: the step runs on the crop; with a canvas-size window
+    the offsets clamp to zero and the loss matches the no-crop step."""
+    model = build_model("UNetSP", compute_dtype="float32",
+                        use_checkpoint=False)
+    s = 32
+    x = jnp.zeros((1, 16, 16, 16, 2), jnp.float32)
+    variables = jax.jit(model.init, static_argnums=(2,))(
+        jax.random.key(0), x, False
+    )
+    opt = steps.make_optimizer({"optimizer": "adam", "learning_rate": 1e-3})
+    state = steps.TrainState(
+        variables["params"], variables["batch_stats"],
+        opt.init(variables["params"]), jnp.zeros((), jnp.int32),
+    )
+    handler = problem.FlapRecWithShapePriorDoubleOut()
+    atlas = spherical_shell((s, s, s)).astype(np.float32)
+    # shell centered in a 32-canvas: radius ~0.35*32 -> bbox well inside
+    batch = {
+        "image": jnp.stack(
+            [jnp.asarray(
+                spherical_shell((s, s, s), seed=i, radius_frac=0.3),
+                jnp.float32)
+             for i in range(2)]
+        )
+    }
+    cfg = {"ce_lambda": 1.0, "dice_lambda": 1.0}
+    train_crop = steps.make_train_step(
+        model, handler, opt, cfg, atlas=atlas, compute_dtype=jnp.float32,
+        donate=False, fg_crop_size=(16, 16, 16),
+    )
+    _, terms = train_crop(state, batch, jax.random.key(0))
+    assert np.isfinite(float(terms["epoch_loss"]))
+
+    train_full = steps.make_train_step(
+        model, handler, opt, cfg, atlas=atlas, compute_dtype=jnp.float32,
+        donate=False,
+    )
+    train_id = steps.make_train_step(
+        model, handler, opt, cfg, atlas=atlas, compute_dtype=jnp.float32,
+        donate=False, fg_crop_size=(s, s, s),
+    )
+    _, t_full = train_full(state, batch, jax.random.key(3))
+    _, t_id = train_id(state, batch, jax.random.key(3))
+    assert float(t_full["epoch_loss"]) == float(t_id["epoch_loss"])

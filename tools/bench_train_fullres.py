@@ -9,7 +9,12 @@ exactness (same seed => same synthesis => identical loss trajectories).
 
 Usage: PYTHONPATH=. python tools/bench_train_fullres.py
            [--impl xla|xla_dw|chain] [--packed] [--iters N]
-           [--shape D,H,W]
+           [--shape D,H,W] [--fg-crop [D,H,W]]
+
+``--fg-crop``: foreground-crop training (``b_fg_crop_train``) — crops
+each volume to the skull bbox + margin at a static size before
+synthesis. With no explicit size, the size is planned from the bench
+skull exactly like the trainer plans it from the dataset.
 
 ``--packed`` routes the step through the packed-RESIDENT training graph
 (models/packed_resident.py).
@@ -87,10 +92,25 @@ def main():
             spherical_shell(shape, radius_frac=0.4)[None].astype("float32")
         )
     }
+    fg_size = None
+    if "--fg-crop" in sys.argv:
+        import numpy as np
+
+        nxt = (sys.argv[sys.argv.index("--fg-crop") + 1]
+               if sys.argv.index("--fg-crop") + 1 < len(sys.argv) else "")
+        if "," in nxt:
+            fg_size = tuple(int(v) for v in nxt.split(","))
+        else:
+            fg_size = steps.fg_crop_size_for(
+                [np.asarray(batch["image"][0], np.float32)], shape,
+                margin=16, multiple=16,
+            )
+        impl = impl + f"+fg_crop{fg_size}"
+        print(f"fg-crop training window: {fg_size}", flush=True)
     train_step = steps.make_train_step(
         model, handler, optimizer,
         {"ce_lambda": 1.0, "dice_lambda": 1.0, "save_dice_plots": False},
-        atlas=atlas, compute_dtype=jnp.bfloat16,
+        atlas=atlas, compute_dtype=jnp.bfloat16, fg_crop_size=fg_size,
     )
     t0 = time.perf_counter()
     state, terms = train_step(state, batch, jax.random.key(0))

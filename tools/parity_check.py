@@ -105,14 +105,22 @@ def train(steps_n: int):
     # 4 MB f32 upload through the staging tunnel costs more than the step
     # itself (measured ~700 ms/step vs ~60 ms compute), and the synthesis
     # is already on-device so nothing else crosses the link per step.
-    vols = jnp.stack([
-        jnp.asarray(spherical_shell(SHAPE, seed=100 + i).astype("float32"))
-        for i in range(8)
-    ])
+    # Uploads are SEQUENTIAL and synced (one in flight) and each batch is
+    # prebuilt — a burst of overlapped 4 MB uploads plus per-step eager
+    # slicing wedged the axon staging tunnel hard enough to need a
+    # multi-minute recovery (round 4, twice, same site).
+    batches = []
+    for i in range(8):
+        a = jnp.asarray(
+            spherical_shell(SHAPE, seed=100 + i)[None].astype("float32")
+        )
+        a.block_until_ready()
+        batches.append({"image": a})
+    print("staged 8 training volumes", flush=True)
     t0 = time.perf_counter()
     losses = []
     for i in range(steps_n):
-        batch = {"image": vols[i % 8][None]}
+        batch = batches[i % 8]
         state, terms = train_step(state, batch, jax.random.key(i))
         losses.append(terms["epoch_loss"])
         if (i + 1) % 200 == 0:
