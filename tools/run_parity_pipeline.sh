@@ -1,29 +1,46 @@
 #!/bin/bash
-# Round-4 parity artifact regeneration (VERDICT r3 items 4, 5, 8).
-# Sequenced on the one real TPU chip; ~60-90 min end to end.
+# Parity artifact regeneration (PARITY.json), sequenced on the one TPU.
 #   stage 1: train UNetSP 10k @128, full int8 sweep + foreground-crop columns
 #   stage 2: QAT distillation fine-tune of that checkpoint
 #   stage 3: merge the QAT columns into PARITY.json (same fingerprint)
 #   stage 4: train UNetSPSmall, sliding-window (patch) parity at the 512 config
-set -x
+#
+# Tunnel discipline (docs/tpu_tunnel.md): probe with a REAL op before and
+# between stages (jax.devices() succeeding proves nothing), bound every
+# stage with a TERM timeout (never SIGKILL a busy client), and wait out
+# wedges — the remote side recovers on its own after 20-50 min.
 cd /root/repo
 mkdir -p .ckpts
 # keep any preexisting entries (e.g. the axon TPU plugin site dir)
 export PYTHONPATH=/root/repo${PYTHONPATH:+:$PYTHONPATH}
 
-echo "=== stage 1: UNetSP 10k + sweep + crop ==="
-python tools/parity_check.py --steps 10000 --ckpt .ckpts/unetsp_10k --crop \
-  || exit 1
+probe() {
+  for i in $(seq 1 70); do
+    if timeout 55 python -c "
+import jax, jax.numpy as jnp
+print(float(jnp.ones((8,8)).sum()))" > /dev/null 2>&1; then
+      echo "[pipeline] tunnel ok"; return 0
+    fi
+    echo "[pipeline] tunnel wedged, retry $i"; sleep 45
+  done
+  echo "[pipeline] tunnel not recovering"; return 1
+}
 
-echo "=== stage 2: QAT tune ==="
-python tools/qat_tune.py --ckpt .ckpts/unetsp_10k --steps 800 || exit 2
+run() { # run <seconds> <label> <cmd...>
+  local sec=$1 label=$2; shift 2
+  echo "=== [pipeline] $label (cap ${sec}s) at $(date +%T) ==="
+  timeout -k 60 "$sec" "$@"
+  local rc=$?
+  echo "=== [pipeline] $label rc=$rc ==="
+  if [ $rc -ne 0 ]; then probe || exit 1; fi
+}
 
-echo "=== stage 3: merge QAT columns ==="
-python tools/parity_check.py --ckpt .ckpts/unetsp_10k \
-  --qat-ckpt .ckpts/unetsp_10k_qat --configs 0:0:0,0:0:1 --merge || exit 3
-
-echo "=== stage 4: UNetSPSmall + patch parity ==="
-python tools/parity_check.py --model UNetSPSmall --steps 10000 \
-  --ckpt .ckpts/unetspsmall_10k --patch --merge || exit 4
-
-echo "=== pipeline done ==="
+probe || exit 1
+run 3600 stage1 python tools/parity_check.py --steps 10000 \
+    --ckpt .ckpts/unetsp_10k --crop
+run 900 stage2 python tools/qat_tune.py --ckpt .ckpts/unetsp_10k --steps 800
+run 900 stage3 python tools/parity_check.py --ckpt .ckpts/unetsp_10k \
+    --qat-ckpt .ckpts/unetsp_10k_qat --configs 0:0:0,0:0:1 --merge
+run 2400 stage4 python tools/parity_check.py --model UNetSPSmall \
+    --steps 3000 --ckpt .ckpts/unetspsmall_3k --patch --merge
+echo "[pipeline] done"
