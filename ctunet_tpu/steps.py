@@ -118,8 +118,14 @@ def make_fg_crop_fn(crop_size, atlas, margin: int = 16, multiple: int = 16):
 
     ``crop_size`` must cover the dataset's foreground extent plus
     margins — the trainer computes it from the data
-    (:func:`fg_crop_size_for`); a too-small size silently truncates the
-    skull's high end. Training on the crop is an OPT-IN accelerator
+    (:func:`fg_crop_size_for`); the crop fn also returns a per-batch
+    ``fg_lost`` voxel counter (foreground voxels outside the window) in
+    the batch dict so the train/eval steps can surface truncation as a
+    metric instead of silently clipping. In ``from_pairs`` mode the
+    offsets come from the UNION of image and flap: the image is the
+    broken skull and the flap fills the defect, which can extend past
+    the image bbox (``problem.py``: full = broken + flap).
+    Training on the crop is an OPT-IN accelerator
     (``b_fg_crop_train``): the loss and BatchNorm statistics see crop
     voxels only, so gradients differ from the whole-canvas run in the
     empty-background term (measured convergence comparison in
@@ -148,12 +154,25 @@ def make_fg_crop_fn(crop_size, atlas, margin: int = 16, multiple: int = 16):
     def crop(key, batch):
         del key  # deterministic given the data; signature matches crop fns
         images = batch["image"]
-        starts = jax.vmap(offsets_of)(images)
+        # foreground = image OR flap: in from_pairs mode the flap fills
+        # the defect OUTSIDE the broken skull's bbox (ADVICE r4 high)
+        fg = images != 0
+        if "flap" in batch:
+            fg = jnp.logical_or(fg, batch["flap"] != 0)
+        starts = jax.vmap(offsets_of)(fg)
         slice_ = lambda v, s: jax.lax.dynamic_slice(v, tuple(s), size)
         out = dict(batch)
         out["image"] = jax.vmap(slice_)(images, starts)
         if "flap" in batch:
             out["flap"] = jax.vmap(slice_)(batch["flap"], starts)
+        # runtime truncation detector: foreground voxels NOT covered by
+        # the static window (planned from the train set; validation or
+        # unscanned volumes could exceed it — ADVICE r4 medium)
+        fg_i = fg.astype(jnp.int32)
+        out["fg_lost"] = (
+            jnp.sum(fg_i, axis=(1, 2, 3))
+            - jnp.sum(jax.vmap(slice_)(fg_i, starts), axis=(1, 2, 3))
+        )
         atlas_b = (
             None if atlas_c is None
             else jax.vmap(lambda s: slice_(atlas_c, s))(starts)
@@ -215,6 +234,8 @@ def make_train_step(
     donate: bool = True,
     train_patch=None,
     fg_crop_size=None,
+    fg_margin: int = 16,
+    fg_multiple: int = 16,
 ):
     """Build the jitted training step.
 
@@ -224,7 +245,13 @@ def make_train_step(
     randomly cropped on device before synthesis — patch-based training.
     With ``fg_crop_size`` (exclusive with ``train_patch``), volumes are
     foreground-cropped to that static size before synthesis
-    (:func:`make_fg_crop_fn` — the ``b_fg_crop_train`` accelerator).
+    (:func:`make_fg_crop_fn` — the ``b_fg_crop_train`` accelerator);
+    ``fg_margin``/``fg_multiple`` must match the values the window was
+    planned with (ADVICE r4: the runtime crop used to silently snap to
+    16/16 regardless of the configured margin and the model's pool
+    depth). When cropping is active the metrics gain ``fg_lost_voxels``:
+    the batch-max count of foreground voxels outside the static window
+    (0 in healthy runs; nonzero flags truncation on unplanned volumes).
     """
     assert not (train_patch and fg_crop_size), (
         "train_patch and fg_crop_size are mutually exclusive")
@@ -246,12 +273,15 @@ def make_train_step(
     atlas_c = None if atlas is None else np.asarray(atlas, np.float32)
     crop = None if train_patch is None else make_crop_fn(train_patch, atlas)
     if fg_crop_size is not None:
-        crop = make_fg_crop_fn(fg_crop_size, atlas)
+        crop = make_fg_crop_fn(fg_crop_size, atlas, margin=fg_margin,
+                               multiple=fg_multiple)
 
     def step(state: TrainState, batch, key):
         atlas_x = atlas_c
+        fg_lost = None
         if crop is not None:
             batch, atlas_x = crop(key, batch)
+            fg_lost = batch.pop("fg_lost", None)
         images, targets = synth(key, batch)
         x = _net_input(images, atlas_x, compute_dtype)
 
@@ -275,6 +305,8 @@ def make_train_step(
         new_state = TrainState(
             new_params, new_stats, new_opt, state.step + 1
         )
+        if fg_lost is not None:
+            terms = dict(terms, fg_lost_voxels=jnp.max(fg_lost))
         return new_state, terms
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
@@ -289,6 +321,8 @@ def make_eval_step(
     from_pairs: bool = False,
     train_patch=None,
     fg_crop_size=None,
+    fg_margin: int = 16,
+    fg_multiple: int = 16,
 ):
     """Validation step: synth targets, forward (running BN stats), losses."""
     synth = make_synth_fn(handler, from_pairs)
@@ -300,12 +334,15 @@ def make_eval_step(
     atlas_c = None if atlas is None else np.asarray(atlas, np.float32)
     crop = None if train_patch is None else make_crop_fn(train_patch, atlas)
     if fg_crop_size is not None:
-        crop = make_fg_crop_fn(fg_crop_size, atlas)
+        crop = make_fg_crop_fn(fg_crop_size, atlas, margin=fg_margin,
+                               multiple=fg_multiple)
 
     def step(state: TrainState, batch, key):
         atlas_x = atlas_c
+        fg_lost = None
         if crop is not None:
             batch, atlas_x = crop(key, batch)
+            fg_lost = batch.pop("fg_lost", None)
         images, targets = synth(key, batch)
         x = _net_input(images, atlas_x, compute_dtype)
         out = model.apply(
@@ -314,6 +351,8 @@ def make_eval_step(
             False,
         )
         _, terms = handler.compute_losses(out, targets, loss_cfg)
+        if fg_lost is not None:
+            terms = dict(terms, fg_lost_voxels=jnp.max(fg_lost))
         return terms, (out, targets)
 
     return jax.jit(step)

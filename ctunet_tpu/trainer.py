@@ -357,10 +357,16 @@ class Model:
         """Static foreground-crop window for ``b_fg_crop_train``.
 
         ``s_fg_train_size`` overrides; otherwise the elementwise-max
-        ``plan_crop`` size over (up to 64 of) the training volumes. The
-        snap multiple covers the model's pool depth so the packed-
-        resident training graph stays applicable. Returns None (train
-        whole-canvas) when cropping gains nothing."""
+        ``plan_crop`` size over EVERY train + validation volume (the bbox
+        scan is cheap relative to the decode, which happens per epoch
+        anyway; ADVICE r4: a partial scan silently truncated unsampled
+        volumes). For pair datasets the bbox covers image|flap — the flap
+        fills the defect outside the broken skull's bbox. The snap
+        multiple covers the model's pool depth so the packed-resident
+        training graph stays applicable. Returns None (train
+        whole-canvas) when cropping gains nothing. Sets
+        ``self._fg_margin``/``self._fg_multiple`` for the step builders
+        so planning and runtime use identical parameters."""
         if not self.params.get("fg_crop_train"):
             return None
         multiple = 16
@@ -372,6 +378,8 @@ class Model:
                 multiple = max(16, 2 ** cfg["n_blocks"])
         except Exception:
             pass
+        margin = int(self.params.get("fg_margin") or 16)
+        self._fg_margin, self._fg_multiple = margin, multiple
         override = str(self.params.get("fg_train_size") or "").strip()
         if override:
             size = tuple(int(v) for v in
@@ -383,19 +391,35 @@ class Model:
         loader = self.data.get("train_loader")
         if loader is None:
             return None
-        ds = loader.dataset
-        n = min(len(ds), 64)
-        margin = int(self.params.get("fg_margin") or 16)
+
+        def fg_volumes():
+            n_total = 0
+            for key in ("train_loader", "validation_loader"):
+                ld = self.data.get(key)
+                if ld is None:
+                    continue
+                ds = ld.dataset
+                n_total += len(ds)
+                for i in range(len(ds)):
+                    sample = ds[i]
+                    vol = np.asarray(sample["image"], np.float32)
+                    if "flap" in sample:
+                        vol = np.maximum(
+                            vol, np.asarray(sample["flap"], np.float32)
+                        )
+                    yield vol
+            self._fg_n_scanned = n_total
+
         size = steps.fg_crop_size_for(
-            (np.asarray(ds[i]["image"], np.float32) for i in range(n)),
-            im_shape, margin=margin, multiple=multiple,
+            fg_volumes(), im_shape, margin=margin, multiple=multiple,
         )
         if size is None:
             print("fg_crop_train: no shrink on this dataset — training "
                   "whole volumes")
         else:
-            note = f" (from {n}/{len(ds)} volumes)" if n < len(ds) else ""
-            print(f"fg_crop_train: {im_shape} -> {size}{note}")
+            print(f"fg_crop_train: {im_shape} -> {size} "
+                  f"(scanned all {getattr(self, '_fg_n_scanned', '?')} "
+                  f"train+val volumes, margin {margin}, snap {multiple})")
         return size
 
     def _maybe_atlas(self, im_shape):
@@ -489,17 +513,21 @@ class Model:
         train_patch = (tps, tps, tps) if tps > 0 else None
         fg_size = (None if train_patch is not None
                    else self._fg_train_size(self._sample_shape()[0]))
+        fg_kw = {}
+        if fg_size is not None:
+            fg_kw = dict(fg_margin=self._fg_margin,
+                         fg_multiple=self._fg_multiple)
         train_step = steps.make_train_step(
             model, handler, optimizer, loss_cfg,
             atlas=self._atlas, compute_dtype=compute_dtype,
             from_pairs=self._from_pairs, train_patch=train_patch,
-            fg_crop_size=fg_size,
+            fg_crop_size=fg_size, **fg_kw,
         )
         eval_step = steps.make_eval_step(
             model, handler, loss_cfg,
             atlas=self._atlas, compute_dtype=compute_dtype,
             from_pairs=self._from_pairs, train_patch=train_patch,
-            fg_crop_size=fg_size,
+            fg_crop_size=fg_size, **fg_kw,
         )
         if self.process_count > 1:
             # multi-host: compile-then-barrier so no rank hits the first

@@ -223,6 +223,72 @@ def test_fg_crop_fn_covers_foreground():
     )
 
 
+def test_fg_crop_fn_union_with_flap_and_lost_counter():
+    """Pair mode: offsets come from the UNION bbox of image|flap (the flap
+    fills the defect outside the broken skull's bbox — ADVICE r4 high),
+    and fg_lost counts any foreground the static window misses."""
+    img = np.zeros((32, 32, 32), np.float32)
+    img[20:28, 20:28, 20:28] = 1.0   # broken skull high in the canvas
+    flap = np.zeros((32, 32, 32), np.float32)
+    flap[2:6, 2:6, 2:6] = 1.0        # flap low in the canvas
+    crop = steps.make_fg_crop_fn((32, 32, 32), None, margin=2, multiple=2)
+    batch, _ = crop(jax.random.key(0), {
+        "image": jnp.asarray(img)[None], "flap": jnp.asarray(flap)[None]
+    })
+    # canvas-size window from the union bbox -> offsets 0, nothing lost
+    assert np.asarray(batch["image"][0]).sum() == img.sum()
+    assert np.asarray(batch["flap"][0]).sum() == flap.sum()
+    assert int(batch["fg_lost"][0]) == 0
+
+    # a 16-window cannot cover both: the union offsets anchor at the flap
+    # (low corner), and fg_lost reports the truncated skull voxels
+    crop16 = steps.make_fg_crop_fn((16, 16, 16), None, margin=2, multiple=2)
+    b16, _ = crop16(jax.random.key(0), {
+        "image": jnp.asarray(img)[None], "flap": jnp.asarray(flap)[None]
+    })
+    assert np.asarray(b16["flap"][0]).sum() == flap.sum()
+    assert int(b16["fg_lost"][0]) == int(img.sum())
+
+    # image-only mode still reports lost voxels for an oversized bbox
+    wide = np.zeros((32, 32, 32), np.float32)
+    wide[0:32:4, 0, 0] = 1.0
+    bw, _ = crop16(jax.random.key(0), {"image": jnp.asarray(wide)[None]})
+    assert int(bw["fg_lost"][0]) == int(wide[16:, 0, 0].sum())
+
+
+def test_fg_crop_train_step_reports_lost_metric(setup):
+    """fg_lost_voxels surfaces in the train-step metrics (0 when the
+    window covers the foreground)."""
+    model = build_model("UNetSP", compute_dtype="float32",
+                        use_checkpoint=False)
+    x = jnp.zeros((1, 16, 16, 16, 2), jnp.float32)
+    variables = jax.jit(model.init, static_argnums=(2,))(
+        jax.random.key(0), x, False
+    )
+    opt = steps.make_optimizer({"optimizer": "adam", "learning_rate": 1e-3})
+    state = steps.TrainState(
+        variables["params"], variables["batch_stats"],
+        opt.init(variables["params"]), jnp.zeros((), jnp.int32),
+    )
+    handler = problem.FlapRecWithShapePriorDoubleOut()
+    s = 32
+    atlas = spherical_shell((s, s, s)).astype(np.float32)
+    # radius 0.15*32 ≈ 4.8 -> bbox diameter ~10: fits the 16-window
+    batch = {
+        "image": jnp.asarray(
+            spherical_shell((s, s, s), radius_frac=0.15).astype(np.float32)
+        )[None]
+    }
+    step = steps.make_train_step(
+        model, handler, opt, {"ce_lambda": 1.0, "dice_lambda": 1.0},
+        atlas=atlas, compute_dtype=jnp.float32, donate=False,
+        fg_crop_size=(16, 16, 16), fg_margin=2, fg_multiple=2,
+    )
+    _, terms = step(state, batch, jax.random.key(0))
+    assert "fg_lost_voxels" in terms
+    assert int(terms["fg_lost_voxels"]) == 0
+
+
 def test_fg_crop_size_for_plans_shared_window():
     vols = []
     for lo in (4, 8):

@@ -87,23 +87,20 @@ def main():
     )
     handler = problem.FlapRecWithShapePriorDoubleOut()
     atlas = spherical_shell(shape, radius_frac=0.42).astype("float32")
-    batch = {
-        "image": jnp.asarray(
-            spherical_shell(shape, radius_frac=0.4)[None].astype("float32")
-        )
-    }
+    # keep the host numpy shell: planning the fg crop from the uploaded
+    # device array would fetch ~4 MB D2H, the large-transfer class that
+    # wedges the axon staging tunnel (ADVICE r4 / docs/tpu_tunnel.md)
+    img_host = spherical_shell(shape, radius_frac=0.4)[None].astype("float32")
+    batch = {"image": jnp.asarray(img_host)}
     fg_size = None
     if "--fg-crop" in sys.argv:
-        import numpy as np
-
         nxt = (sys.argv[sys.argv.index("--fg-crop") + 1]
                if sys.argv.index("--fg-crop") + 1 < len(sys.argv) else "")
         if "," in nxt:
             fg_size = tuple(int(v) for v in nxt.split(","))
         else:
             fg_size = steps.fg_crop_size_for(
-                [np.asarray(batch["image"][0], np.float32)], shape,
-                margin=16, multiple=16,
+                [img_host[0]], shape, margin=16, multiple=16,
             )
         impl = impl + f"+fg_crop{fg_size}"
         print(f"fg-crop training window: {fg_size}", flush=True)
