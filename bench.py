@@ -3,13 +3,21 @@
 
 Headline config of the reference (``examples/UNetSPDO/FlapRecSP2O.ini``):
 UNetSP at 224x304x304, batch 1 — skull + atlas in, (full skull, flap) out.
-This framework runs it whole-volume in bf16 on one TPU chip (the reference's
+This framework runs it whole-volume on one TPU chip (the reference's
 inference mode, SURVEY.md §3.4); the baseline is the reference's own PyTorch
 implementation on CPU (it ships no GPU numbers — SURVEY.md §6), measured by
 ``python bench.py --measure-baseline`` and stored in BASELINE_MEASURED.json.
 
-Prints ONE JSON line:
-``{"metric": ..., "value": N, "unit": "volumes/sec", "vs_baseline": N}``.
+Prints the compact JSON line
+``{"metric": ..., "value": N, "unit": "volumes/sec", "vs_baseline": N}``
+IMMEDIATELY after the first (headline) stage and refreshes it after each
+optional stage that improves the number — the LAST line wins. Stage order is
+fastest-headline-first and every optional stage is gated on the remaining
+wall-clock budget (``BENCH_BUDGET_S``, default 1200 s), so a driver timeout
+can no longer erase the round's result (round 4 ran the 1350 s XLA-conv
+compile first and got killed before printing anything — VERDICT r4 weak #1).
+The slow XLA-conv reference leg runs only under ``--full`` (or an explicitly
+raised budget).
 """
 
 import json
@@ -20,6 +28,17 @@ import time
 SHAPE = (224, 304, 304)
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
 METRIC = "UNetSP 224x304x304 skull-completion inference, volumes/sec/chip"
+
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+_T0 = time.monotonic()
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.monotonic() - _T0)
+
+
+def _log(msg: str) -> None:
+    print(f"[{time.monotonic() - _T0:7.1f}s] {msg}", file=sys.stderr)
 
 
 def measure_torch_baseline(n_iters: int = 3) -> float:
@@ -60,22 +79,50 @@ def measure_torch_baseline(n_iters: int = 3) -> float:
     return 1.0 / sec
 
 
-def measure_jax(n_iters: int = 10):
-    """Returns (volumes_per_sec, profile_breakdown_or_None)."""
+class _CacheDiag:
+    """Persistent-compile-cache hit/miss attribution: the round-4 driver
+    run recompiled the XLA-conv leg for 1350 s despite a 1.5 GB in-tree
+    cache (VERDICT r4 weak #7). Counting cache-dir entries around each
+    stage says whether a slow stage was a cache MISS (new entries) or
+    genuinely slow execution."""
+
+    def __init__(self, cache_dir: str):
+        self.dir = cache_dir
+
+    def count(self) -> int:
+        try:
+            return len(os.listdir(self.dir))
+        except OSError:
+            return 0
+
+    def stage(self, label: str, before: int) -> None:
+        after = self.count()
+        state = ("MISS (+%d entries compiled)" % (after - before)
+                 if after > before else "hit/none")
+        _log(f"compile cache [{label}]: {state} "
+             f"({after} entries in {self.dir})")
+
+
+def measure_jax(full: bool = False):
+    """Returns (volumes_per_sec, best_fn_by_label).
+
+    Emits the compact headline JSON line after the FIRST completed stage
+    and after every later stage that improves it (last line wins).
+    """
     import jax
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(__file__), ".jax_cache"),
-    )
+    cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    diag = _CacheDiag(cache_dir)
     import jax.numpy as jnp
     import numpy as np
 
     from ctunet_tpu.models import build_model
 
     dev = jax.devices()[0]
-    print(f"device: {dev}", file=sys.stderr)
+    _log(f"device: {dev}; budget {BUDGET_S:.0f}s"
+         + (" (--full)" if full else ""))
 
     model = build_model(
         "UNetSP", compute_dtype="bfloat16", use_checkpoint=False
@@ -91,20 +138,12 @@ def measure_jax(n_iters: int = 10):
     # NOTE: under the axon tunnel block_until_ready does not actually block,
     # so a scalar reduction is fetched to host each iteration — the float()
     # forces full computation + one-scalar roundtrip (honest sync).
-    @jax.jit
-    def forward_sum(variables, x):
-        out = model.apply(variables, x, False)
-        return sum(
-            jnp.sum(o.astype(jnp.float32)) for o in jax.tree.leaves(out)
-        )
-
-    def timed(fn, label):
+    def timed(fn, label, n_iters=10):
+        n0 = diag.count()
         t0 = time.perf_counter()
         float(fn(variables, x))
-        print(
-            f"{label} compile+first run: {time.perf_counter() - t0:.1f}s",
-            file=sys.stderr,
-        )
+        _log(f"{label} compile+first run: {time.perf_counter() - t0:.1f}s")
+        diag.stage(label, n0)
         times = []
         for _ in range(n_iters):
             t0 = time.perf_counter()
@@ -119,68 +158,36 @@ def measure_jax(n_iters: int = 10):
         sums = [fn(variables, x) for _ in range(n_iters)]
         _ = [float(s) for s in sums]
         thr = (time.perf_counter() - t0) / n_iters
-        print(
+        _log(
             f"{label}: latency best of {n_iters}: {lat * 1000:.1f}ms; "
             f"pipelined {thr * 1000:.1f}ms/volume -> "
-            f"{1.0 / thr:.2f} volumes/sec",
-            file=sys.stderr,
+            f"{1.0 / thr:.2f} volumes/sec"
         )
         return min(lat, thr)
 
-    sec = timed(forward_sum, "jax UNetSP (XLA conv)")
-    best_fn = forward_sum
+    def out_sum(out):
+        return sum(
+            jnp.sum(o.astype(jnp.float32)) for o in jax.tree.leaves(out)
+        )
 
-    # Fused Pallas inference engine (the serving path).
-    try:
-        from ctunet_tpu import engine
+    best = {"sec": float("inf"), "fn": None, "label": None}
 
-        predict = engine.build_predict("UNetSP", variables)
+    def consider(sec, fn, label, emit=True):
+        if sec < best["sec"]:
+            best.update(sec=sec, fn=fn, label=label)
+            if emit:
+                emit_result(1.0 / sec, stage=label)
 
-        @jax.jit
-        def engine_sum(variables_unused, x):
-            out = predict(x)
-            return sum(
-                jnp.sum(o.astype(jnp.float32)) for o in jax.tree.leaves(out)
-            )
-
-        sec_engine = timed(engine_sum, "jax UNetSP (pallas engine)")
-        if sec_engine < sec:
-            sec, best_fn = sec_engine, engine_sum
-    except Exception as e:  # engine is an optimization, never a bench blocker
-        print(f"engine path failed: {type(e).__name__}: {e}", file=sys.stderr)
-
-    # Calibrated int8 engine (the quantized serving path; int8 MXU runs at
-    # 2x the bf16 rate on v5e). Mask parity vs the f32/bf16 paths is gated
-    # separately (tests/test_quant.py + tools/parity_check.py -> PARITY.json).
+    # ---- stage 1 (HEADLINE): int8 engine on the foreground-cropped
+    # realistic skull — the shipped serving mode (b_fg_crop; the crop is
+    # content-dependent, so it is measured on the same synthetic skull
+    # geometry the parity harness uses; the dense stages below use noise
+    # input, which for them is equivalent: no data-dependent branches).
+    x_sk = None
+    predict_qc = None
+    sl = None
     try:
         from ctunet_tpu import engine_q
-
-        predict_q = engine_q.build_predict_q("UNetSP", variables, x[0])
-
-        @jax.jit
-        def engine_q_sum(variables_unused, x):
-            out = predict_q(x)
-            return sum(
-                jnp.sum(o.astype(jnp.float32)) for o in jax.tree.leaves(out)
-            )
-
-        sec_q = timed(engine_q_sum, "jax UNetSP (int8 engine)")
-        if sec_q < sec:
-            sec, best_fn = sec_q, engine_q_sum
-    except Exception as e:
-        print(f"int8 engine path failed: {type(e).__name__}: {e}",
-              file=sys.stderr)
-
-    # Foreground-cropped int8 serving on a REALISTIC skull (the coarse
-    # sparsity lever: in-kernel constant-region skipping measured a net
-    # loss — BASELINE.md — but a CT skull's nonzero bbox is much smaller
-    # than the canvas, and kernel time is shape-proportional). The dense
-    # engines above are input-independent (no data-dependent branches),
-    # so their noise-input timings stand; the crop gain is content-
-    # dependent and is measured on the same synthetic skull geometry the
-    # parity harness uses (serving: b_fg_crop; parity: PARITY.json crop
-    # columns).
-    try:
         from ctunet_tpu.data.synthetic import spherical_shell
         from ctunet_tpu.ops import foreground
 
@@ -190,85 +197,144 @@ def measure_jax(n_iters: int = 10):
             np.stack([vol, atlas], -1)[None], jnp.bfloat16
         )
         plan = foreground.plan_crop(vol, margin=16, multiple=16)
-        if plan is not None:
-            offs, sizes = plan
-            print(f"fg crop: offsets {offs} sizes {sizes} "
-                  f"({np.prod(sizes) / np.prod(SHAPE):.2f}x voxels)",
-                  file=sys.stderr)
-            sl = (slice(None),) + foreground.crop_slices(offs, sizes)
-            predict_qc = engine_q.build_predict_q(
-                "UNetSP", variables, x_sk[sl][0]
-            )
+        if plan is None:
+            raise RuntimeError("no crop gain on the bench skull")
+        offs, sizes = plan
+        _log(f"fg crop: offsets {offs} sizes {sizes} "
+             f"({np.prod(sizes) / np.prod(SHAPE):.2f}x voxels)")
+        sl = (slice(None),) + foreground.crop_slices(offs, sizes)
+        predict_qc = engine_q.build_predict_q(
+            "UNetSP", variables, x_sk[sl][0]
+        )
 
-            @jax.jit
-            def engine_qc_sum(variables_unused, x):
-                out = predict_qc(x[sl])  # static on-device crop
-                return sum(
-                    jnp.sum(o.astype(jnp.float32))
-                    for o in jax.tree.leaves(out)
-                )
+        @jax.jit
+        def engine_qc_sum(variables_unused, x):
+            return out_sum(predict_qc(x[sl]))  # static on-device crop
 
-            def timed_sk(fn, label):
-                return timed(
-                    lambda v, _x: fn(v, x_sk), label
-                )
+        sec_qc = timed(lambda v, _x: engine_qc_sum(v, x_sk),
+                       "jax UNetSP (int8 + fg crop)")
+        consider(sec_qc, lambda v, _x: engine_qc_sum(v, x_sk),
+                 "int8_fg_crop")
+    except Exception as e:
+        print(f"fg-crop int8 stage failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
 
-            sec_qc = timed_sk(engine_qc_sum, "jax UNetSP (int8 + fg crop)")
-            if sec_qc < sec:
-                sec, best_fn = sec_qc, (
-                    lambda v, _x: engine_qc_sum(v, x_sk)
-                )
-
-            # Multi-volume dispatch: lax.scan over K volumes amortizes
-            # the per-dispatch gap (~2.6 ms/volume under the axon tunnel)
-            # into one dispatch per K.
+    # ---- stage 2: scan-of-K dispatch amortization on the crop engine
+    # (one dispatch per K volumes; ~2.6 ms/volume dispatch gap under the
+    # axon tunnel). Productized in the Model serving loop via
+    # b_serve_scan; this measures the same graph the trainer dispatches.
+    if predict_qc is not None and _remaining() > 120:
+        try:
             K = 4
             xk = jnp.broadcast_to(x_sk, (K,) + x_sk.shape[1:])
 
             @jax.jit
             def engine_qc_scan_sum(variables_unused, xk):
                 def body(c, x1):
-                    out = predict_qc(x1[None][sl])
-                    return c, sum(
-                        jnp.sum(o.astype(jnp.float32))
-                        for o in jax.tree.leaves(out)
-                    )
+                    return c, out_sum(predict_qc(x1[None][sl]))
 
                 _, sums = jax.lax.scan(body, 0, xk)
                 return jnp.sum(sums)
 
+            n0 = diag.count()
             t0 = time.perf_counter()
             float(engine_qc_scan_sum(variables, xk))
-            print(
-                f"scan-of-{K} compile+first: {time.perf_counter()-t0:.1f}s",
-                file=sys.stderr,
-            )
+            _log(f"scan-of-{K} compile+first: {time.perf_counter()-t0:.1f}s")
+            diag.stage("scan", n0)
             times = []
-            for _ in range(max(3, n_iters // K)):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 float(engine_qc_scan_sum(variables, xk))
                 times.append((time.perf_counter() - t0) / K)
             sec_scan = min(times)
-            print(
+            _log(
                 f"jax UNetSP (int8 + fg crop, scan-of-{K}): "
                 f"{sec_scan * 1000:.1f}ms/volume -> "
-                f"{1.0 / sec_scan:.2f} volumes/sec",
-                file=sys.stderr,
+                f"{1.0 / sec_scan:.2f} volumes/sec"
             )
-            if sec_scan < sec:
-                sec, best_fn = sec_scan, (
-                    lambda v, _x: engine_qc_sum(v, x_sk)
-                )
-    except Exception as e:
-        print(f"fg-crop path failed: {type(e).__name__}: {e}",
-              file=sys.stderr)
-    print(
-        f"jax UNetSP: best of {n_iters}: {sec * 1000:.1f}ms -> "
-        f"{1.0 / sec:.2f} volumes/sec",
-        file=sys.stderr,
+            # best_fn must be the SCAN variant (round-4 mis-assigned the
+            # non-scan lambda here, attributing the profile to the wrong
+            # graph — VERDICT r4 weak #5)
+            consider(sec_scan, lambda v, _x: engine_qc_scan_sum(v, xk),
+                     "int8_fg_crop_scan4")
+        except Exception as e:
+            print(f"scan stage failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    elif predict_qc is not None:
+        _log("scan stage skipped (budget)")
+
+    # ---- stage 3: dense int8 engine, whole canvas (content-independent)
+    if _remaining() > 180:
+        try:
+            from ctunet_tpu import engine_q
+
+            predict_q = engine_q.build_predict_q("UNetSP", variables, x[0])
+
+            @jax.jit
+            def engine_q_sum(variables_unused, x):
+                return out_sum(predict_q(x))
+
+            sec_q = timed(engine_q_sum, "jax UNetSP (int8 engine)")
+            consider(sec_q, engine_q_sum, "int8_dense")
+        except Exception as e:
+            print(f"int8 engine path failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    else:
+        _log("dense int8 stage skipped (budget)")
+
+    # ---- stage 4: dense bf16 Pallas engine ----
+    if _remaining() > 120:
+        try:
+            from ctunet_tpu import engine
+
+            predict = engine.build_predict("UNetSP", variables)
+
+            @jax.jit
+            def engine_sum(variables_unused, x):
+                return out_sum(predict(x))
+
+            sec_engine = timed(engine_sum, "jax UNetSP (pallas engine)")
+            consider(sec_engine, engine_sum, "bf16_engine")
+        except Exception as e:
+            print(f"engine path failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    else:
+        _log("bf16 engine stage skipped (budget)")
+
+    # ---- stage 5 (--full only): the XLA-conv reference path. 1350 s of
+    # compile in the round-4 driver run on a cold cache — never allowed to
+    # front-run the headline again.
+    if full and _remaining() > 300:
+        @jax.jit
+        def forward_sum(variables, x):
+            return out_sum(model.apply(variables, x, False))
+
+        sec = timed(forward_sum, "jax UNetSP (XLA conv)")
+        consider(sec, forward_sum, "xla_conv")
+    elif full:
+        _log("XLA-conv stage skipped (budget)")
+    else:
+        _log("XLA-conv stage skipped (run with --full)")
+
+    if best["fn"] is None:
+        raise RuntimeError("no bench stage completed")
+    _log(
+        f"jax UNetSP best [{best['label']}]: {best['sec'] * 1000:.1f}ms -> "
+        f"{1.0 / best['sec']:.2f} volumes/sec"
     )
-    profile = profile_breakdown(lambda: float(best_fn(variables, x)))
-    return 1.0 / sec, profile
+    # device-time breakdown of the winning variant, budget permitting
+    if _remaining() > 120:
+        profile = profile_breakdown(
+            lambda: float(best["fn"](variables, x))
+        )
+        if profile:
+            print(json.dumps({"profile": profile,
+                              "variant": best["label"]}), file=sys.stderr)
+            emit_result(1.0 / best["sec"], stage=best["label"],
+                        profile=profile)
+    else:
+        _log("profile skipped (budget)")
+    return 1.0 / best["sec"]
 
 
 def profile_breakdown(run_once, iters: int = 3):
@@ -323,6 +389,83 @@ def profile_breakdown(run_once, iters: int = 3):
         return None
 
 
+def _load_baseline():
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            return json.load(f).get("volumes_per_sec")
+    return None
+
+
+def emit_result(value: float, stage: str = "", profile=None) -> None:
+    """Print the compact headline JSON line to stdout NOW. Called after
+    every completed stage; the driver takes the last line, so a timeout
+    mid-run still leaves the best-so-far number parseable (VERDICT r4
+    item 1: round 4's only record of the bench was its stderr tail)."""
+    baseline = _load_baseline()
+    vs_baseline = (value / baseline) if baseline else None
+    # The final stdout line must stay COMPACT: the driver's tail buffer
+    # truncated the round-2/3 lines once the full 34-column parity sweep
+    # rode along (VERDICT r3 weak #3). Full detail goes to stderr; the
+    # sweep itself lives in PARITY.json.
+    out = {
+        "metric": METRIC,
+        "value": round(value, 4),
+        "unit": "volumes/sec",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+    }
+    if stage:
+        out["stage"] = stage
+    if profile:
+        out["device_ms"] = profile.get("device_ms_per_iter")
+    parity_file = os.path.join(os.path.dirname(__file__), "PARITY.json")
+    if os.path.exists(parity_file):
+        # Cross-framework mask Dice, produced by tools/parity_check.py
+        # (trains 128-res, exports to torch, compares both impls' masks).
+        with open(parity_file) as f:
+            parity = json.load(f)
+        dice = {k: v for k, v in parity.items()
+                if k.startswith("dice_") and isinstance(v, (int, float))}
+        if dice:
+            lo = min(dice, key=dice.get)
+            hi = max(dice, key=dice.get)
+            out["parity"] = {
+                "dice_sk_engine_bf16": parity.get("dice_sk_engine_bf16"),
+                "dice_fl_engine_bf16": parity.get("dice_fl_engine_bf16"),
+                "dice_min": {lo: dice[lo]},
+                "dice_max": {hi: dice[hi]},
+                "columns": len(dice),
+                "detail": "PARITY.json",
+            }
+    print(json.dumps(out), flush=True)
+
+
+def main() -> None:
+    if "--train" in sys.argv:
+        vps = measure_train()
+        print(json.dumps({
+            "metric": "UNetSP 64x128x128 train steps/sec/chip",
+            "value": round(vps, 4), "unit": "steps/sec",
+        }))
+        return
+    if "--measure-baseline" in sys.argv:
+        vps = measure_torch_baseline()
+        with open(BASELINE_FILE, "w") as f:
+            json.dump(
+                {
+                    "metric": METRIC,
+                    "baseline": "reference ctunet UNetSP, PyTorch CPU, "
+                    "batch 1, float32 (loaded from /root/reference)",
+                    "volumes_per_sec": vps,
+                },
+                f,
+                indent=1,
+            )
+        print(json.dumps({"baseline_volumes_per_sec": vps}))
+        return
+
+    measure_jax(full="--full" in sys.argv)
+
+
 TRAIN_SHAPE = (64, 128, 128)
 
 
@@ -342,7 +485,6 @@ def measure_train(n_iters: int = 6) -> float:
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
-    import numpy as np
 
     from ctunet_tpu import problem, steps
     from ctunet_tpu.data.synthetic import spherical_shell
@@ -407,72 +549,6 @@ def measure_train(n_iters: int = 6) -> float:
         file=sys.stderr,
     )
     return 1.0 / min(sec, sec_p)
-
-
-def main() -> None:
-    if "--train" in sys.argv:
-        vps = measure_train()
-        print(json.dumps({
-            "metric": "UNetSP 64x128x128 train steps/sec/chip",
-            "value": round(vps, 4), "unit": "steps/sec",
-        }))
-        return
-    if "--measure-baseline" in sys.argv:
-        vps = measure_torch_baseline()
-        with open(BASELINE_FILE, "w") as f:
-            json.dump(
-                {
-                    "metric": METRIC,
-                    "baseline": "reference ctunet UNetSP, PyTorch CPU, "
-                    "batch 1, float32 (loaded from /root/reference)",
-                    "volumes_per_sec": vps,
-                },
-                f,
-                indent=1,
-            )
-        print(json.dumps({"baseline_volumes_per_sec": vps}))
-        return
-
-    value, profile = measure_jax()
-    baseline = None
-    if os.path.exists(BASELINE_FILE):
-        with open(BASELINE_FILE) as f:
-            baseline = json.load(f).get("volumes_per_sec")
-    vs_baseline = (value / baseline) if baseline else None
-    # The final stdout line must stay COMPACT: the driver's tail buffer
-    # truncated the round-2/3 lines once the full 34-column parity sweep
-    # rode along (VERDICT r3 weak #3). Full detail goes to stderr; the
-    # sweep itself lives in PARITY.json.
-    out = {
-        "metric": METRIC,
-        "value": round(value, 4),
-        "unit": "volumes/sec",
-        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-    }
-    if profile:
-        out["device_ms"] = profile.get("device_ms_per_iter")
-        print(json.dumps({"profile": profile}), file=sys.stderr)
-    parity_file = os.path.join(os.path.dirname(__file__), "PARITY.json")
-    if os.path.exists(parity_file):
-        # Cross-framework mask Dice, produced by tools/parity_check.py
-        # (trains 128-res, exports to torch, compares both impls' masks).
-        with open(parity_file) as f:
-            parity = json.load(f)
-        print(json.dumps({"parity_full": parity}), file=sys.stderr)
-        dice = {k: v for k, v in parity.items()
-                if k.startswith("dice_") and isinstance(v, (int, float))}
-        if dice:
-            lo = min(dice, key=dice.get)
-            hi = max(dice, key=dice.get)
-            out["parity"] = {
-                "dice_sk_engine_bf16": parity.get("dice_sk_engine_bf16"),
-                "dice_fl_engine_bf16": parity.get("dice_fl_engine_bf16"),
-                "dice_min": {lo: dice[lo]},
-                "dice_max": {hi: dice[hi]},
-                "columns": len(dice),
-                "detail": "PARITY.json",
-            }
-    print(json.dumps(out))
 
 
 if __name__ == "__main__":

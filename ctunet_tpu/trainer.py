@@ -1188,8 +1188,133 @@ class Model:
                 out, batch["filepath"], self.params["name"], images,
             ))
 
+        # Scan-of-K dispatch (``i_serve_scan``): group K decoded volumes
+        # into ONE ``lax.scan`` program — amortizes the per-dispatch host
+        # gap (~2.6 ms/volume under the axon tunnel) and the per-volume
+        # upload overhead into one dispatch per K. Per-volume variable
+        # crop shapes would defeat a naive scan, so the group shares a
+        # STATIC pool-aligned window (the fg-crop-train trick,
+        # ``steps.fg_crop_size_for``): a running elementwise-max of the
+        # group's planned crop sizes, each volume sliced at its OWN
+        # offsets (the offsets ride through the scan so the atlas prior
+        # stays registered per volume). The reference serves one volume
+        # per forward (``Model.py:324-380``, batch 1).
+        serve_scan = max(1, int(self.params.get("serve_scan") or 1))
+        scan_fns: Dict = {}
+        scan_static: Dict = {}  # canvas -> running static crop size
+        warmed: set = set()
+
+        def dispatch_one(batch, cropped, crop_info):
+            """Upload one (1, D, H, W) volume, dispatch, enqueue fetch."""
+            up = _t("upload", _upload, cropped)
+            out = _t("dispatch", lambda: _hardify(
+                predict(variables, up, crop_info[0])
+                if crop_info is not None
+                else predict(variables, up)
+            ))
+            pending.append((out, batch, cropped.shape[1:], crop_info))
+            if len(pending) >= depth:
+                flush_one(pool)
+
+        def dispatch_single(batch, padded, plan):
+            crop_info = None
+            if plan is not None:
+                offs, sizes = plan
+                full_shape = padded.shape[1:]
+                padded = np.ascontiguousarray(
+                    padded[(slice(None),)
+                           + foreground.crop_slices(offs, sizes)]
+                )
+                crop_info = (offs, full_shape)
+            dispatch_one(batch, padded, crop_info)
+
+        def _get_scan_fn(k, size):
+            key = (k,) + tuple(size)
+            if key not in scan_fns:
+                @jax.jit
+                def scan_fn(vs, images, offsets):
+                    def body(c, xo):
+                        x1, off = xo
+                        return c, _hardify(predict(vs, x1[None], off))
+
+                    _, outs = jax.lax.scan(body, 0, (images, offsets))
+                    return outs
+
+                scan_fns[key] = scan_fn
+            return scan_fns[key]
+
+        def dispatch_group(group):
+            items, group[:] = list(group), []
+            if not items:
+                return
+            canvas = items[0][1].shape
+            if len(items) == 1 or any(
+                it[1].shape != canvas for it in items
+            ):
+                for b, p, pl in items:
+                    dispatch_single(b, p, pl)
+                return
+            canvas_sp = canvas[1:]
+            if fg_on and all(it[2] is not None for it in items):
+                need = tuple(
+                    max(it[2][1][ax] for it in items) for ax in range(3)
+                )
+                cur = scan_static.get(canvas_sp, (0, 0, 0))
+                size = tuple(
+                    min(c, s + (-s % multiple))
+                    for c, s in zip(
+                        canvas_sp,
+                        (max(n, p) for n, p in zip(need, cur)),
+                    )
+                )
+                scan_static[canvas_sp] = size
+            else:
+                size = canvas_sp
+            if size == canvas_sp:
+                offs_k = [(0, 0, 0)] * len(items)
+                crop_infos = [None] * len(items)
+                vols = [it[1][0] for it in items]
+            else:
+                offs_k, crop_infos, vols = [], [], []
+                for b, p, pl in items:
+                    # the shared window >= this volume's planned window,
+                    # so clamping the offsets into the canvas keeps the
+                    # bbox covered (window start only ever moves DOWN)
+                    offs = tuple(
+                        min(o, c - s)
+                        for o, c, s in zip(pl[0], canvas_sp, size)
+                    )
+                    offs_k.append(offs)
+                    crop_infos.append((offs, canvas_sp))
+                    vols.append(np.ascontiguousarray(
+                        p[(slice(None),)
+                          + foreground.crop_slices(offs, size)]
+                    )[0])
+            if tuple(size) not in warmed:
+                # the int8/bf16 engine for a NEW shape is built lazily
+                # from a concrete calibration volume — a scan trace only
+                # carries tracers, so warm it with one real dispatch and
+                # scan the rest of the group
+                warmed.add(tuple(size))
+                b, p, pl = items.pop(0)
+                dispatch_one(b, vols.pop(0)[None], crop_infos.pop(0))
+                offs_k.pop(0)
+                if not items:
+                    return
+            stacked = np.ascontiguousarray(np.stack(vols))
+            up = _t("upload", _upload, stacked)
+            fn = _get_scan_fn(len(items), size)
+            offsets = np.asarray(offs_k, np.int32)
+            outs = _t("dispatch", lambda: fn(variables, up, offsets))
+            for k, (b, p, pl) in enumerate(items):
+                out_k = jax.tree.map(lambda a, _k=k: a[_k], outs)
+                pending.append((out_k, b, tuple(size), crop_infos[k]))
+                if len(pending) >= depth:
+                    flush_one(pool)
+
         n_batches = 0
         t_loop0 = _time.perf_counter()
+        group: list = []
         with cf.ThreadPoolExecutor(2) as pool:
             it = iter(self.data["test_loader"])
             while True:
@@ -1200,28 +1325,18 @@ class Model:
                 images = batch["image"]
                 pads = [(0, -s % multiple) for s in images.shape[1:]]
                 padded = _t("pad", np.pad, images, [(0, 0)] + pads)
-                crop_info = None
+                plan = None
                 if fg_on and padded.shape[0] == 1:
                     plan = foreground.plan_crop(
                         padded[0], margin=fg_margin, multiple=multiple
                     )
-                    if plan is not None:
-                        offs, sizes = plan
-                        full_shape = padded.shape[1:]
-                        padded = np.ascontiguousarray(
-                            padded[(slice(None),)
-                                   + foreground.crop_slices(offs, sizes)]
-                        )
-                        crop_info = (offs, full_shape)
-                up = _t("upload", _upload, padded)
-                out = _t("dispatch", lambda: _hardify(
-                    predict(variables, up, crop_info[0])
-                    if crop_info is not None
-                    else predict(variables, up)
-                ))
-                pending.append((out, batch, padded.shape[1:], crop_info))
-                if len(pending) >= depth:
-                    flush_one(pool)
+                if serve_scan > 1 and padded.shape[0] == 1:
+                    group.append((batch, padded, plan))
+                    if len(group) >= serve_scan:
+                        dispatch_group(group)
+                else:
+                    dispatch_single(batch, padded, plan)
+            dispatch_group(group)
             while pending:
                 flush_one(pool)
             t_drain0 = _time.perf_counter()

@@ -122,6 +122,14 @@ def default_params() -> Dict[str, Any]:
                                       # fg_crop_train window (default:
                                       # computed from the dataset bboxes)
         "prefetch_depth": 2,          # host->device pipeline depth
+        "serve_scan": 1,              # [tpu] >1: batch K test volumes
+                                      # through ONE lax.scan dispatch
+                                      # (amortizes the per-dispatch host
+                                      # gap; with b_fg_crop the group
+                                      # shares a static pool-aligned
+                                      # window — per-volume offsets keep
+                                      # the atlas registered). The bench
+                                      # headline serving mode.
         "serve_profile": False,       # print per-stage serving-loop times
         "debug_nans": False,          # jax.debug_nans (ref: detect_anomaly)
         "profile_dir": "",            # jax.profiler trace output dir

@@ -126,6 +126,55 @@ def test_no_atlas_problem(synth, tmp_path):
     assert m.best_model["value"] is not None
 
 
+def test_serve_scan_matches_single_dispatch(tmp_path_factory):
+    """i_serve_scan: K volumes batched through one lax.scan dispatch with
+    the shared static fg-crop window must write the same masks as the
+    per-volume dispatch path (VERDICT r4 item 5: the scan headline must
+    be reachable through the public Model surface, not only bench.py)."""
+    import csv as _csv
+
+    root = tmp_path_factory.mktemp("scan")
+    data = root / "data"
+    os.makedirs(data)
+    shape = (64, 64, 64)
+    rows = []
+    for i in range(3):
+        # small shells so plan_crop actually crops (64 -> 32 per axis)
+        vol = spherical_shell(shape, seed=40 + i, radius_frac=0.15)
+        path = str(data / f"skull_{i:03d}.nii.gz")
+        nifti.write(path, nifti.NiftiImage(vol, np.eye(4)))
+        rows.append(path)
+    csv_path = str(data / "files.csv")
+    with open(csv_path, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["image", "mask"])
+        for r in rows:
+            w.writerow([r, ""])
+    register_atlas(shape, spherical_shell(shape, radius_frac=0.17))
+
+    common = dict(
+        name="e2e_scan", n_epochs=1, batch_size=1,
+        fg_crop=True, fg_margin=2,
+    )
+    Model(params=_params(root, csv_path, test_flag=True,
+                         serve_scan=1, **common))
+    pred_dir = str(data / "pred_e2e_scan")
+    single = {
+        os.path.basename(p): nifti.read(p).data
+        for p in sorted(glob.glob(os.path.join(pred_dir, "*.nii.gz")))
+    }
+    assert len(single) >= 9  # 3 volumes x {_sk,_fl,_i}
+
+    # predict-only rerun on the SAME checkpoint, scan-of-3 dispatch
+    Model(params=_params(root, csv_path, train_flag=False, test_flag=True,
+                         serve_scan=3, **common))
+    for name, ref_mask in single.items():
+        got = nifti.read(os.path.join(pred_dir, name)).data
+        np.testing.assert_array_equal(
+            got, ref_mask, err_msg=f"scan path diverged on {name}"
+        )
+
+
 def test_fg_crop_training(synth):
     """b_fg_crop_train through the public Model API: the train/eval
     steps run on the static foreground window (explicit override here —
