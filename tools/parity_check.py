@@ -411,10 +411,19 @@ def main():
         return 0
 
     # --- foreground-crop serving parity at the headline shape (--crop) ---
+    # ``--crop-margin N``: sweepable margin (VERDICT r4 item 2 — the
+    # receptive-field band at the crop border is what costs crop parity;
+    # margins != 16 get an ``_mN`` column suffix so --merge composes the
+    # sweep into one report).
     crop_cols = {}
     if "--crop" in sys.argv:
+        import time as _time
+
         from ctunet_tpu.ops import foreground
 
+        margin_c = (int(sys.argv[sys.argv.index("--crop-margin") + 1])
+                    if "--crop-margin" in sys.argv else 16)
+        sfx = "" if margin_c == 16 else f"_m{margin_c}"
         SERVE = (224, 304, 304)
         n_c = 3
         atlas_s = spherical_shell(SERVE, radius_frac=0.42).astype("float32")
@@ -424,18 +433,20 @@ def main():
             broken, _ = synthesis.skull_random_hole(
                 jax.random.key(8000 + i), jnp.asarray(full))
             tests_s.append(np.asarray(broken, np.float32))
-        plans = [foreground.plan_crop(t, margin=16, multiple=16)
+        plans = [foreground.plan_crop(t, margin=margin_c, multiple=16)
                  for t in tests_s]
         assert all(p is not None for p in plans), "crop plan degenerate"
         # shared crop SIZE across volumes -> one engine compile (offsets
         # stay per-volume); production batching does the same
         sizes = tuple(int(max(p[1][ax] for p in plans)) for ax in range(3))
-        plans = [foreground.plan_crop(t, margin=16, multiple=16,
+        plans = [foreground.plan_crop(t, margin=margin_c, multiple=16,
                                       min_size=sizes) for t in tests_s]
-        crop_cols["crop_voxel_frac"] = round(
+        crop_cols["crop_voxel_frac" + sfx] = round(
             float(np.prod(sizes)) / float(np.prod(SERVE)), 4)
-        print(f"crop parity: serve {SERVE}, crop {sizes} "
-              f"({crop_cols['crop_voxel_frac']:.2f}x voxels)", flush=True)
+        print(f"crop parity: serve {SERVE}, margin {margin_c}, "
+              f"crop {sizes} "
+              f"({crop_cols['crop_voxel_frac' + sfx]:.2f}x voxels)",
+              flush=True)
 
         x_serve = np.stack([np.stack([t, atlas_s], -1) for t in tests_s])
         ref_sk_s, ref_fl_s = torch_masks(x_serve)
