@@ -12,6 +12,11 @@ Synthetic 224x304x304 broken skulls are staged as uint8 NIfTI (the
 reference's preprocessed-volume format). Prints one JSON line.
 
 Usage: python tools/bench_serve.py [--n 16] [--int8] [--xla] [--profile]
+           [--fg-crop] [--scan K]
+
+``--fg-crop``: serve the foreground bbox + margin (``b_fg_crop``).
+``--scan K``: batch K volumes through one lax.scan dispatch
+(``i_serve_scan`` — the productized bench-headline dispatch mode).
 
 ``--profile`` prints per-stage loop-blocking times (decode wait, pad,
 upload, dispatch, fetch+unpack, write drain) to attribute the gap between
@@ -107,6 +112,9 @@ def main() -> None:
             use_engine="--xla" not in sys.argv,
             use_int8="--int8" in sys.argv,
             serve_profile="--profile" in sys.argv,
+            fg_crop="--fg-crop" in sys.argv,
+            serve_scan=(int(sys.argv[sys.argv.index("--scan") + 1])
+                        if "--scan" in sys.argv else 1),
         )
         t0 = time.perf_counter()
         Model(params=params)
@@ -126,7 +134,10 @@ def main() -> None:
             "metric": "end-to-end serving, NIfTI in -> masks out, "
                       "UNetSP 224x304x304",
             "mode": ("int8" if params["use_int8"] else
-                     ("engine" if params["use_engine"] else "xla")),
+                     ("engine" if params["use_engine"] else "xla"))
+                    + ("+fg_crop" if params["fg_crop"] else "")
+                    + (f"+scan{params['serve_scan']}"
+                       if params["serve_scan"] > 1 else ""),
             "volumes": n,
             "wall_s": round(wall, 2),
             "volumes_per_sec_incl_compile": round(n / wall, 3),

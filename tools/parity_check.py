@@ -13,6 +13,7 @@ Writes ``PARITY.json`` at the repo root; ``bench.py`` surfaces it as the
 Usage: PYTHONPATH=. python tools/parity_check.py [--steps N]
            [--ckpt PATH] [--csv FILES.csv [--atlas ATLAS.nii.gz]]
            [--configs h:t:aq,...] [--model UNetSPSmall] [--crop] [--patch]
+           [--crop-margin N | --crop-margins 16,24,32,48]
 
 ``--model``: model family to train/evaluate (default UNetSP). Non-default
 models prefix their report keys (UNetSPSmall -> ``sm_``) and keep their
@@ -421,9 +422,13 @@ def main():
 
         from ctunet_tpu.ops import foreground
 
-        margin_c = (int(sys.argv[sys.argv.index("--crop-margin") + 1])
-                    if "--crop-margin" in sys.argv else 16)
-        sfx = "" if margin_c == 16 else f"_m{margin_c}"
+        if "--crop-margins" in sys.argv:
+            margins = [int(v) for v in sys.argv[
+                sys.argv.index("--crop-margins") + 1].split(",")]
+        elif "--crop-margin" in sys.argv:
+            margins = [int(sys.argv[sys.argv.index("--crop-margin") + 1])]
+        else:
+            margins = [16]
         SERVE = (224, 304, 304)
         n_c = 3
         atlas_s = spherical_shell(SERVE, radius_frac=0.42).astype("float32")
@@ -433,25 +438,12 @@ def main():
             broken, _ = synthesis.skull_random_hole(
                 jax.random.key(8000 + i), jnp.asarray(full))
             tests_s.append(np.asarray(broken, np.float32))
-        plans = [foreground.plan_crop(t, margin=margin_c, multiple=16)
-                 for t in tests_s]
-        assert all(p is not None for p in plans), "crop plan degenerate"
-        # shared crop SIZE across volumes -> one engine compile (offsets
-        # stay per-volume); production batching does the same
-        sizes = tuple(int(max(p[1][ax] for p in plans)) for ax in range(3))
-        plans = [foreground.plan_crop(t, margin=margin_c, multiple=16,
-                                      min_size=sizes) for t in tests_s]
-        crop_cols["crop_voxel_frac" + sfx] = round(
-            float(np.prod(sizes)) / float(np.prod(SERVE)), 4)
-        print(f"crop parity: serve {SERVE}, margin {margin_c}, "
-              f"crop {sizes} "
-              f"({crop_cols['crop_voxel_frac' + sfx]:.2f}x voxels)",
-              flush=True)
 
         x_serve = np.stack([np.stack([t, atlas_s], -1) for t in tests_s])
         ref_sk_s, ref_fl_s = torch_masks(x_serve)
 
         # whole-volume engine at serve shape: the no-crop baseline column
+        # (margin-independent — computed once for the whole sweep)
         wv_sk, wv_fl = [], []
         for i in range(n_c):
             o = predict(jnp.asarray(x_serve[i][None], jnp.bfloat16))
@@ -462,45 +454,82 @@ def main():
         crop_cols["dice_fl_full304_bf16"] = round(
             dice(np.stack(wv_fl), ref_fl_s), 6)
 
-        x_crop = np.stack([
-            np.stack([t[foreground.crop_slices(offs, szs)],
-                      atlas_s[foreground.crop_slices(offs, szs)]], -1)
-            for t, (offs, szs) in zip(tests_s, plans)])
-
         calib_full_s = spherical_shell(SERVE, seed=1777).astype("float32")
         calib_broken_s, _ = synthesis.skull_random_hole(
             jax.random.key(8999), jnp.asarray(calib_full_s))
-        cplan = foreground.plan_crop(np.asarray(calib_broken_s, np.float32),
-                                     margin=16, multiple=16, min_size=sizes)
-        csl = foreground.crop_slices(*cplan)
-        calib_crop = jnp.asarray(np.stack(
-            [np.asarray(calib_broken_s, np.float32)[csl], atlas_s[csl]], -1
-        ), jnp.bfloat16)
+        calib_np = np.asarray(calib_broken_s, np.float32)
+        q_by_sizes = {}  # crop sizes -> int8 engine (margins often snap
+        #                  to the same 16-aligned window; reuse the build)
 
-        for label, build in (
-            ("bf16", lambda: predict),
-            ("int8", lambda: engine_q.build_predict_q(
-                MODEL, variables, calib_crop)),
-        ):
-            pc_fn = build()
-            m_sk, m_fl = [], []
-            for i, (offs, szs) in enumerate(plans):
-                o = pc_fn(jnp.asarray(x_crop[i][None], jnp.bfloat16))
-                sk_c = np.argmax(np.asarray(o[0], np.float32), -1)[0]
-                fl_c = np.argmax(np.asarray(o[1], np.float32), -1)[0]
-                m_sk.append(foreground.paste_full(
-                    sk_c, offs, SERVE,
-                    probe_bg(sk_c, tests_s[i], offs, szs)))
-                m_fl.append(foreground.paste_full(
-                    fl_c, offs, SERVE,
-                    probe_bg(fl_c, tests_s[i], offs, szs)))
-            crop_cols[f"dice_sk_crop_{label}"] = round(
-                dice(np.stack(m_sk), ref_sk_s), 6)
-            crop_cols[f"dice_fl_crop_{label}"] = round(
-                dice(np.stack(m_fl), ref_fl_s), 6)
-            print(f"  crop {label} done: "
-                  f"sk {crop_cols[f'dice_sk_crop_{label}']} "
-                  f"fl {crop_cols[f'dice_fl_crop_{label}']}", flush=True)
+        for margin_c in margins:
+            sfx = "" if margin_c == 16 else f"_m{margin_c}"
+            plans = [foreground.plan_crop(t, margin=margin_c, multiple=16)
+                     for t in tests_s]
+            assert all(p is not None for p in plans), "crop plan degenerate"
+            # shared crop SIZE across volumes -> one engine compile
+            # (offsets stay per-volume); production batching does the same
+            sizes = tuple(
+                int(max(p[1][ax] for p in plans)) for ax in range(3))
+            plans = [foreground.plan_crop(t, margin=margin_c, multiple=16,
+                                          min_size=sizes) for t in tests_s]
+            crop_cols["crop_voxel_frac" + sfx] = round(
+                float(np.prod(sizes)) / float(np.prod(SERVE)), 4)
+            print(f"crop parity: serve {SERVE}, margin {margin_c}, "
+                  f"crop {sizes} "
+                  f"({crop_cols['crop_voxel_frac' + sfx]:.2f}x voxels)",
+                  flush=True)
+
+            x_crop = np.stack([
+                np.stack([t[foreground.crop_slices(offs, szs)],
+                          atlas_s[foreground.crop_slices(offs, szs)]], -1)
+                for t, (offs, szs) in zip(tests_s, plans)])
+
+            if sizes not in q_by_sizes:
+                cplan = foreground.plan_crop(
+                    calib_np, margin=margin_c, multiple=16, min_size=sizes)
+                csl = foreground.crop_slices(*cplan)
+                calib_crop = jnp.asarray(np.stack(
+                    [calib_np[csl], atlas_s[csl]], -1), jnp.bfloat16)
+                q_by_sizes[sizes] = engine_q.build_predict_q(
+                    MODEL, variables, calib_crop)
+
+            for label, pc_fn in (
+                ("bf16", predict),
+                ("int8", q_by_sizes[sizes]),
+            ):
+                m_sk, m_fl = [], []
+                for i, (offs, szs) in enumerate(plans):
+                    o = pc_fn(jnp.asarray(x_crop[i][None], jnp.bfloat16))
+                    sk_c = np.argmax(np.asarray(o[0], np.float32), -1)[0]
+                    fl_c = np.argmax(np.asarray(o[1], np.float32), -1)[0]
+                    m_sk.append(foreground.paste_full(
+                        sk_c, offs, SERVE,
+                        probe_bg(sk_c, tests_s[i], offs, szs)))
+                    m_fl.append(foreground.paste_full(
+                        fl_c, offs, SERVE,
+                        probe_bg(fl_c, tests_s[i], offs, szs)))
+                crop_cols[f"dice_sk_crop_{label}{sfx}"] = round(
+                    dice(np.stack(m_sk), ref_sk_s), 6)
+                crop_cols[f"dice_fl_crop_{label}{sfx}"] = round(
+                    dice(np.stack(m_fl), ref_fl_s), 6)
+                # speed at this margin (the parity-vs-device-ms tradeoff
+                # the margin sweep prices): pipelined ms/volume on one crop
+                x1 = jnp.asarray(x_crop[0][None], jnp.bfloat16)
+                fsum = jax.jit(lambda x, _f=pc_fn: sum(
+                    jnp.sum(o.astype(jnp.float32))
+                    for o in jax.tree.leaves(_f(x))))
+                float(fsum(x1))  # warm
+                n_t = 10
+                t0 = _time.perf_counter()
+                ss = [fsum(x1) for _ in range(n_t)]
+                _ = [float(s) for s in ss]
+                crop_cols[f"ms_crop_{label}{sfx}"] = round(
+                    (_time.perf_counter() - t0) / n_t * 1000, 2)
+                print(f"  crop {label}{sfx} done: "
+                      f"sk {crop_cols[f'dice_sk_crop_{label}{sfx}']} "
+                      f"fl {crop_cols[f'dice_fl_crop_{label}{sfx}']} "
+                      f"{crop_cols[f'ms_crop_{label}{sfx}']} ms/vol",
+                      flush=True)
 
     # --- sliding-window parity at the 512 config shape (--patch) ---------
     patch_cols = {}
