@@ -196,7 +196,10 @@ def measure_jax(full: bool = False):
         x_sk = jnp.asarray(
             np.stack([vol, atlas], -1)[None], jnp.bfloat16
         )
-        plan = foreground.plan_crop(vol, margin=16, multiple=16)
+        # margin 24 = the shipped default (utils/config.py fg_margin):
+        # the round-5 sweep put the parity knee there, and the bench
+        # measures the mode the product serves
+        plan = foreground.plan_crop(vol, margin=24, multiple=16)
         if plan is None:
             raise RuntimeError("no crop gain on the bench skull")
         offs, sizes = plan

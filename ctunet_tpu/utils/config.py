@@ -82,7 +82,15 @@ def default_params() -> Dict[str, Any]:
                                       # (ops/foreground.py; mask pasted
                                       # back on host, parity measured by
                                       # parity_check --crop)
-        "fg_margin": 16,              # [tpu] crop margin (voxels/side)
+        "fg_margin": 24,              # [tpu] crop margin (voxels/side).
+                                      # Measured sweep (PARITY.json
+                                      # dice_*_crop_*_mN, round 5):
+                                      # margin 16 costs 1.3pt flap Dice
+                                      # (bf16 0.981) from the receptive-
+                                      # field band at the crop border;
+                                      # 24 restores 0.994 at the same
+                                      # pipelined ms/vol; 48 adds <0.1pt
+                                      # for 1.3x the voxels
         "use_int8": False,            # calibrated int8 serving engine
                                       # (PTQ; calibrates on the first test
                                       # volume, falls back to bf16 engine)

@@ -492,10 +492,16 @@ def main():
                     [calib_np[csl], atlas_s[csl]], -1), jnp.bfloat16)
                 q_by_sizes[sizes] = engine_q.build_predict_q(
                     MODEL, variables, calib_crop)
+                # the SHIPPING int8 serving config (b_int8_adaquant
+                # defaults True): AdaQuant weight rounding calibrated on
+                # the crop — the parity the headline mode actually serves
+                q_by_sizes[(sizes, "aq")] = engine_q.build_predict_q_opt(
+                    MODEL, variables, calib_crop)
 
             for label, pc_fn in (
                 ("bf16", predict),
                 ("int8", q_by_sizes[sizes]),
+                ("int8_aq", q_by_sizes[(sizes, "aq")]),
             ):
                 m_sk, m_fl = [], []
                 for i, (offs, szs) in enumerate(plans):
