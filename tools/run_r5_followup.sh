@@ -37,6 +37,12 @@ if [ -d .ckpts/unetsp_10k_qat ]; then
 fi
 run 3600 aq_crop python tools/parity_check.py --ckpt .ckpts/unetsp_10k \
     --configs 0:0:0 --crop --crop-margins 16,24 --merge
+# retry of the timed-out spsmall patch stage: checkpoint exists so
+# training is skipped, and one int8 config instead of the full sweep
+if [ -d .ckpts/unetspsmall_3k ]; then
+  run 3000 spsmall_patch python tools/parity_check.py --model UNetSPSmall \
+      --ckpt .ckpts/unetspsmall_3k --configs 0:0:0 --patch --merge
+fi
 run 1800 bench24 env BENCH_BUDGET_S=1500 python bench.py
 run 1500 probes python tools/probes/mb_pack_formulations.py
 echo "[followup] done"
