@@ -126,28 +126,64 @@ def _bn_relu_packed(
     return jnp.maximum(xq * inv_l + shift_l, 0), new_stats
 
 
+_SEL_CACHE: Dict[Tuple[int, int], Tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _sel_mats(p: int, c: int) -> Tuple[np.ndarray, np.ndarray]:
+    """0/1 selection matrices (p*c, (p//2)*c) extracting the even/odd
+    W positions of a lane block (lane order: (w-pos s, channel))."""
+    if (p, c) not in _SEL_CACHE:
+        e0 = np.zeros((p * c, (p // 2) * c), np.float32)
+        e1 = np.zeros_like(e0)
+        for s2 in range(p // 2):
+            for ch in range(c):
+                e0[(2 * s2) * c + ch, s2 * c + ch] = 1.0
+                e1[(2 * s2 + 1) * c + ch, s2 * c + ch] = 1.0
+        _SEL_CACHE[(p, c)] = (e0, e1)
+    return _SEL_CACHE[(p, c)]
+
+
 def _pool2_packed_value(xq, p, c):
-    b, d, h, wp, _ = xq.shape
-    x = xq.reshape(b, d // 2, 2, h // 2, 2, wp, p // 2, 2, c)
-    return x.max(axis=(2, 4, 7)).reshape(b, d // 2, h // 2, wp,
-                                         (p // 2) * c)
-
-
-def _repeat2_packed(t, p, c):
-    """NN 2x upsample (B,D,H,wp,(p/2)*C) -> (B,2D,2H,wp,p*C): D/H by
-    broadcast, W inside lane space."""
-    b, d, h, wp, _ = t.shape
-    t = t.reshape(b, d, h, wp, p // 2, c)
-    t = jnp.broadcast_to(
-        t[:, :, None, :, None, :, :, None, :],
-        (b, d, 2, h, 2, wp, p // 2, 2, c),
-    )
-    return t.reshape(b, 2 * d, 2 * h, wp, p * c)
+    # D/H pairs split MAJOR dims only; the W pair is resolved in lane
+    # space by two 0/1-selection matmuls (MXU; exact — one nonzero per
+    # output lane). The former single 9D reshape split the lane dim into
+    # a c-minor (7-wide) layout: every temp paid the (8,128) tile
+    # padding 18x, ~55 ms of the full-res step in pool fwd+bwd
+    # (tools/attr_train.py round 5).
+    b, d, h, wp, pc = xq.shape
+    x = xq.reshape(b, d // 2, 2, h // 2, 2, wp, pc).max(axis=(2, 4))
+    e0, e1 = _sel_mats(p, c)
+    e0 = jnp.asarray(e0, xq.dtype)
+    e1 = jnp.asarray(e1, xq.dtype)
+    return jnp.maximum(x @ e0, x @ e1)
 
 
 def _make_pool2_packed(p: int, c: int):
-    """Custom-VJP packed 2x max pool; backward temps stay lane-dense
-    (the packed analog of ``unet._maxpool2``; same even tie-splitting)."""
+    """Custom-VJP packed 2x max pool; every temp keeps the full p*c (or
+    (p/2)*c) lane dim as its minor axis (the packed analog of
+    ``unet._maxpool2``; same even tie-splitting).
+
+    The EQUALITY-critical backward path (window max -> eq mask -> tie
+    counts) is built from elementwise ops only (lane roll + where): the
+    max each input element is compared against is an exact copy of
+    values from elementwise ``jnp.maximum`` chains, so every window has
+    >= 1 equal element and ties >= 1 BY CONSTRUCTION. Routing the max
+    through a 0/1-selection matmul instead NaN'd key-dependently in
+    round 5: a backend may approximate even a selection matmul (CPU
+    oneDNN flushes denormals), the bitwise equality then misses, and
+    ties hits 0 -> g/0. The matmuls remain only where approximation
+    cannot invent non-finite values: the forward's lane compaction and
+    the backward's gradient scatter."""
+
+    def _pair(t):
+        """Elementwise W-partner of every lane block: lane (s, ch) gets
+        the value at (s^1, ch) — a lane roll by +-c selected by block
+        parity. Exact (no arithmetic)."""
+        lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, t.ndim - 1)
+        even = (lane // c) % 2 == 0
+        return jnp.where(
+            even, jnp.roll(t, -c, axis=-1), jnp.roll(t, c, axis=-1)
+        )
 
     @jax.custom_vjp
     def pool(xq):
@@ -159,14 +195,30 @@ def _make_pool2_packed(p: int, c: int):
 
     def bwd(res, g):
         xq, yq = res
-        b, d, h, wp, _ = xq.shape
-        eq = (xq == _repeat2_packed(yq, p, c)).astype(jnp.float32)
-        ties = eq.reshape(
-            b, d // 2, 2, h // 2, 2, wp, p // 2, 2, c
-        ).sum(axis=(2, 4, 7))
-        gq = g.reshape(b, d // 2, h // 2, wp, p // 2, c)
-        gg = (gq.astype(jnp.float32) / ties).reshape(yq.shape)
-        dx = (eq * _repeat2_packed(gg, p, c)).astype(xq.dtype)
+        del yq  # the backward rebuilds the max exactly, lane-dense
+        b, d, h, wp, pc = xq.shape
+        # D/H-pair max (major split only), then the W-pair max per INPUT
+        # lane — all elementwise, so rep holds exact copies of xq values
+        m_dh = xq.reshape(b, d // 2, 2, h // 2, 2, wp, pc).max(axis=(2, 4))
+        pairmax = jnp.maximum(m_dh, _pair(m_dh))
+        rep = jnp.broadcast_to(
+            pairmax[:, :, None, :, None],
+            (b, d // 2, 2, h // 2, 2, wp, pc),
+        ).reshape(xq.shape)
+        eq = (xq == rep).astype(jnp.float32)
+        # tie count per input lane: majors sum + the W partner's count
+        t6 = eq.reshape(b, d // 2, 2, h // 2, 2, wp, pc).sum(axis=(2, 4))
+        ties_in = t6 + _pair(t6)
+        # scatter g to input lanes (both W positions get their output's
+        # gradient); divide by the tie count, broadcast over the majors
+        e0, e1 = _sel_mats(p, c)
+        g32 = g.astype(jnp.float32)
+        g_in = (g32 @ jnp.asarray(e0.T) + g32 @ jnp.asarray(e1.T))
+        gg = g_in / ties_in
+        dx = (eq * jnp.broadcast_to(
+            gg[:, :, None, :, None],
+            (b, d // 2, 2, h // 2, 2, wp, pc),
+        ).reshape(xq.shape)).astype(xq.dtype)
         return (dx,)
 
     pool.defvjp(fwd, bwd)

@@ -123,20 +123,26 @@ def _fq_learn(x: jax.Array, s: jax.Array) -> jax.Array:
     return q * s
 
 
-def _adam_best(loss_fn, p0, steps: int, lr: float):
+def _adam_best(loss_fn, p0, steps: int, lr: float, args=()):
     """Adam with keep-best-iterate tracking (Adam oscillates near the
     optimum at these tiny losses; the init IS the RTN baseline, so the
     result is never worse than RTN on the calibration objective).
     step() returns the loss AT ITS INPUT iterate, so ``l`` pairs with
-    the pre-update params. Returns (best_p, first_loss, best_loss)."""
+    the pre-update params. Returns (best_p, first_loss, best_loss).
+
+    ``args``: LARGE tensors the loss reads (calibration activations /
+    targets) — passed as jit ARGUMENTS, never closed over: a closed-over
+    array lowers as an HLO literal, and at serving shapes the literal
+    blows the axon remote-compile request limit (HTTP 413; the serving
+    crash of round 5's first bench_serve run)."""
     import optax
 
     opt = optax.adam(lr)
     st = opt.init(p0)
 
     @jax.jit
-    def step(p, st):
-        l, g = jax.value_and_grad(loss_fn)(p)
+    def step(p, st, *args):
+        l, g = jax.value_and_grad(loss_fn)(p, *args)
         up, st = opt.update(g, st)
         return optax.apply_updates(p, up), st, l
 
@@ -144,14 +150,14 @@ def _adam_best(loss_fn, p0, steps: int, lr: float):
     best_l = l0 = None
     best_p = p0
     for _ in range(steps):
-        new_p, st, l = step(p, st)
+        new_p, st, l = step(p, st, *args)
         lf = float(l)
         if l0 is None:
             l0 = lf
         if best_l is None or lf < best_l:
             best_l, best_p = lf, p
         p = new_p
-    lf = float(loss_fn(p))
+    lf = float(loss_fn(p, *args))
     if l0 is None:
         l0 = lf  # steps=0: the init is the only iterate
     if best_l is None or lf < best_l:
@@ -290,10 +296,10 @@ def optimize_rounding(
             )
             return y_f, y_hat
 
-        def fwd(p):
+        def fwd(p, x_hat_a):
             w_dq = _ste_round(p["c"]) / kv / sv
             y = jnp.maximum(
-                _conv(x_hat, w_dq) + shift_v + p["db"] * s_out_v, 0.0
+                _conv(x_hat_a, w_dq) + shift_v + p["db"] * s_out_v, 0.0
             )
             if learn_scales:
                 # quantization inside the loss so the scale multiplier
@@ -301,13 +307,14 @@ def optimize_rounding(
                 y = _fq_learn(y, s_out_v * jnp.exp(p["t"]))
             return y
 
-        def loss_fn(p):
-            return jnp.mean(jnp.square(fwd(p) - y_f)) / y_norm
+        def loss_fn(p, x_hat_a, y_f_a):
+            return jnp.mean(jnp.square(fwd(p, x_hat_a) - y_f_a)) / y_norm
 
         p0 = {"c": c0, "db": jnp.zeros(w_eff.shape[-1], jnp.float32)}
         if learn_scales:
             p0["t"] = jnp.zeros(w_eff.shape[-1], jnp.float32)
-        best_p, l0, best_l = _adam_best(loss_fn, p0, steps, lr)
+        best_p, l0, best_l = _adam_best(loss_fn, p0, steps, lr,
+                                        args=(x_hat, y_f))
         if learn_scales:
             ts[tag][:-1] = s_out * np.exp(np.asarray(best_p["t"]))
             s_out = ts[tag][:-1]
@@ -458,23 +465,23 @@ def optimize_rounding(
             kv = jnp.asarray(k)
             sv = jnp.asarray(s_in_full)[:, None]
             s_up_v = jnp.asarray(s_up)
-            y_f_t = x_f
 
-            def loss_fn(p):
+            def loss_fn(p, x_aug_a, y_f_a):
                 w_dq = _ste_round(p["c"]) / kv / sv
                 y = jnp.maximum(
-                    _composite_apply(x_aug, w_dq)
+                    _composite_apply(x_aug_a, w_dq)
                     + shift0 + p["db"] * s_up_v, 0.0,
                 )
                 if learn_scales:
                     y = _fq_learn(y, s_up_v * jnp.exp(p["t"]))
-                return jnp.mean(jnp.square(y - y_f_t)) / y_norm
+                return jnp.mean(jnp.square(y - y_f_a)) / y_norm
 
             p0 = {"c": jnp.asarray(r_s * k, jnp.float32),
                   "db": jnp.zeros(resp.shape[-1], jnp.float32)}
             if learn_scales:
                 p0["t"] = jnp.zeros(resp.shape[-1], jnp.float32)
-            best_p, l0, best_l = _adam_best(loss_fn, p0, steps, lr)
+            best_p, l0, best_l = _adam_best(loss_fn, p0, steps, lr,
+                                            args=(x_aug, x_f))
             if learn_scales:
                 ts[tag0][:-1] = s_up * np.exp(np.asarray(best_p["t"]))
             q = np.clip(np.round(np.asarray(best_p["c"])), -127, 127)

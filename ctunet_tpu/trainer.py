@@ -948,7 +948,13 @@ class Model:
                                 " matters."
                             )
                             break
-                        except (ValueError, KeyError, AssertionError) as e:
+                        except (ValueError, KeyError, AssertionError,
+                                jax.errors.JaxRuntimeError) as e:
+                            # JaxRuntimeError: device/tunnel-side
+                            # build failures (e.g. the axon
+                            # remote-compile body limit) must fall
+                            # back like shape failures, not crash
+                            # the serving loop
                             print(
                                 f"{label} engine unavailable ({e}); "
                                 "trying the next serving mode."
@@ -1042,7 +1048,13 @@ class Model:
                             print(f"patch serving: calibrated {label} "
                                   "engine.")
                             break
-                        except (ValueError, KeyError, AssertionError) as e:
+                        except (ValueError, KeyError, AssertionError,
+                                jax.errors.JaxRuntimeError) as e:
+                            # JaxRuntimeError: device/tunnel-side
+                            # build failures (e.g. the axon
+                            # remote-compile body limit) must fall
+                            # back like shape failures, not crash
+                            # the serving loop
                             print(
                                 f"{label} engine unavailable ({e}); "
                                 "trying the next patch-serving mode."

@@ -145,3 +145,34 @@ def test_packed_train_model_loop_matches_standard(tmp_path):
     pkd = run("pkd", packed_train=True)
     assert len(std) == len(pkd) == 2
     np.testing.assert_allclose(pkd, std, rtol=2e-4, atol=2e-5)
+
+
+def test_packed_pool_backward_finite_on_denormals(rng):
+    """Round-5 regression: the packed pool's backward must stay finite
+    and gradient-conserving even when activations are denormal. The
+    first dense-lane rewrite reconstructed the window max through a
+    0/1-selection MATMUL and bit-compared it against the input — a
+    backend that approximates the matmul (CPU oneDNN flushes denormals)
+    then misses the equality, the tie count hits 0, and g/0 NaNs the
+    step (observed key-dependently in whole-model training). The
+    shipped backward builds the equality path elementwise."""
+    from ctunet_tpu.models.packed_resident import _make_pool2_packed
+
+    p, c = 16, 7
+    for scale in (1.0, 1e-40):
+        xq = jnp.asarray(
+            rng.standard_normal((1, 16, 16, 2, p * c)).astype(np.float32)
+            * scale
+        )
+        pool = _make_pool2_packed(p, c)
+        y, vjp = jax.vjp(pool, xq)
+        g = jnp.asarray(
+            rng.standard_normal(y.shape).astype(np.float32)
+        )
+        (dx,) = vjp(g)
+        assert bool(jnp.isfinite(dx).all()), f"NaN/inf grads at {scale=}"
+        # every output's gradient is fully distributed over its window
+        np.testing.assert_allclose(
+            float(dx.astype(jnp.float64).sum()),
+            float(g.astype(jnp.float64).sum()), rtol=1e-4,
+        )  # f32 divide/accumulate noise over ~28k elements
