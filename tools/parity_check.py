@@ -536,6 +536,22 @@ def main():
                       f"fl {crop_cols[f'dice_fl_crop_{label}{sfx}']} "
                       f"{crop_cols[f'ms_crop_{label}{sfx}']} ms/vol",
                       flush=True)
+            # incremental merge under --merge: each margin's adaquant
+            # build can cost 20+ min of fresh compiles at a new crop
+            # shape — a stage-cap kill must not erase the margins
+            # already measured (round-5 aq_crop lesson)
+            if "--merge" in sys.argv:
+                out_p = os.path.join(REPO, "PARITY.json")
+                if os.path.exists(out_p):
+                    with open(out_p) as f:
+                        cur = json.load(f)
+                    if cur.get(PREFIX + "ckpt_fingerprint") in (
+                        None, ckpt_fingerprint
+                    ):
+                        cur.update({PREFIX + k: v
+                                    for k, v in crop_cols.items()})
+                        with open(out_p, "w") as f:
+                            json.dump(cur, f, indent=1)
 
     # --- sliding-window parity at the 512 config shape (--patch) ---------
     patch_cols = {}
