@@ -954,7 +954,17 @@ class Model:
                             # build failures (e.g. the axon
                             # remote-compile body limit) must fall
                             # back like shape failures, not crash
-                            # the serving loop
+                            # the serving loop. After an HBM
+                            # RESOURCE_EXHAUSTED the failed build's
+                            # buffers survive in the jit caches —
+                            # purge them or every later allocation
+                            # (even the bf16 fallback's inputs) OOMs
+                            # too (round-5 serve run).
+                            if isinstance(e, jax.errors.JaxRuntimeError):
+                                import gc
+
+                                gc.collect()
+                                jax.clear_caches()
                             print(
                                 f"{label} engine unavailable ({e}); "
                                 "trying the next serving mode."
@@ -1054,7 +1064,17 @@ class Model:
                             # build failures (e.g. the axon
                             # remote-compile body limit) must fall
                             # back like shape failures, not crash
-                            # the serving loop
+                            # the serving loop. After an HBM
+                            # RESOURCE_EXHAUSTED the failed build's
+                            # buffers survive in the jit caches —
+                            # purge them or every later allocation
+                            # (even the bf16 fallback's inputs) OOMs
+                            # too (round-5 serve run).
+                            if isinstance(e, jax.errors.JaxRuntimeError):
+                                import gc
+
+                                gc.collect()
+                                jax.clear_caches()
                             print(
                                 f"{label} engine unavailable ({e}); "
                                 "trying the next patch-serving mode."

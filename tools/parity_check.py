@@ -429,6 +429,12 @@ def main():
             margins = [int(sys.argv[sys.argv.index("--crop-margin") + 1])]
         else:
             margins = [16]
+        # --crop-aq-only: measure ONLY the int8+AdaQuant column (skip the
+        # whole-volume baseline and the bf16/plain-int8 crop labels whose
+        # columns already landed). The AdaQuant simulator's activation
+        # ladder at a 240-size crop needs most of the 16 GB chip to
+        # itself (two RESOURCE_EXHAUSTED runs, round 5).
+        aq_only = "--crop-aq-only" in sys.argv
         SERVE = (224, 304, 304)
         n_c = 3
         atlas_s = spherical_shell(SERVE, radius_frac=0.42).astype("float32")
@@ -442,17 +448,20 @@ def main():
         x_serve = np.stack([np.stack([t, atlas_s], -1) for t in tests_s])
         ref_sk_s, ref_fl_s = torch_masks(x_serve)
 
-        # whole-volume engine at serve shape: the no-crop baseline column
-        # (margin-independent — computed once for the whole sweep)
-        wv_sk, wv_fl = [], []
-        for i in range(n_c):
-            o = predict(jnp.asarray(x_serve[i][None], jnp.bfloat16))
-            wv_sk.append(np.argmax(np.asarray(o[0], np.float32), -1)[0])
-            wv_fl.append(np.argmax(np.asarray(o[1], np.float32), -1)[0])
-        crop_cols["dice_sk_full304_bf16"] = round(
-            dice(np.stack(wv_sk), ref_sk_s), 6)
-        crop_cols["dice_fl_full304_bf16"] = round(
-            dice(np.stack(wv_fl), ref_fl_s), 6)
+        if not aq_only:
+            # whole-volume engine at serve shape: the no-crop baseline
+            # column (margin-independent — computed once for the sweep)
+            wv_sk, wv_fl = [], []
+            for i in range(n_c):
+                o = predict(jnp.asarray(x_serve[i][None], jnp.bfloat16))
+                wv_sk.append(
+                    np.argmax(np.asarray(o[0], np.float32), -1)[0])
+                wv_fl.append(
+                    np.argmax(np.asarray(o[1], np.float32), -1)[0])
+            crop_cols["dice_sk_full304_bf16"] = round(
+                dice(np.stack(wv_sk), ref_sk_s), 6)
+            crop_cols["dice_fl_full304_bf16"] = round(
+                dice(np.stack(wv_fl), ref_fl_s), 6)
 
         calib_full_s = spherical_shell(SERVE, seed=1777).astype("float32")
         calib_broken_s, _ = synthesis.skull_random_hole(
@@ -490,19 +499,22 @@ def main():
                 csl = foreground.crop_slices(*cplan)
                 calib_crop = jnp.asarray(np.stack(
                     [calib_np[csl], atlas_s[csl]], -1), jnp.bfloat16)
-                q_by_sizes[sizes] = engine_q.build_predict_q(
-                    MODEL, variables, calib_crop)
+                if not aq_only:
+                    q_by_sizes[sizes] = engine_q.build_predict_q(
+                        MODEL, variables, calib_crop)
                 # the SHIPPING int8 serving config (b_int8_adaquant
                 # defaults True): AdaQuant weight rounding calibrated on
                 # the crop — the parity the headline mode actually serves
                 q_by_sizes[(sizes, "aq")] = engine_q.build_predict_q_opt(
                     MODEL, variables, calib_crop)
 
-            for label, pc_fn in (
-                ("bf16", predict),
-                ("int8", q_by_sizes[sizes]),
-                ("int8_aq", q_by_sizes[(sizes, "aq")]),
-            ):
+            labels = (
+                [("int8_aq", q_by_sizes[(sizes, "aq")])] if aq_only else
+                [("bf16", predict),
+                 ("int8", q_by_sizes[sizes]),
+                 ("int8_aq", q_by_sizes[(sizes, "aq")])]
+            )
+            for label, pc_fn in labels:
                 m_sk, m_fl = [], []
                 for i, (offs, szs) in enumerate(plans):
                     o = pc_fn(jnp.asarray(x_crop[i][None], jnp.bfloat16))
