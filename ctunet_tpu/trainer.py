@@ -912,6 +912,21 @@ class Model:
                     q_by_shape[shape] = None
                     for label, builder, extra in builders:
                         try:
+                            if label == "int8+adaquant":
+                                # the AdaQuant rounding SIMULATION (f32
+                                # activation ladder) OOMs 16 GB HBM at
+                                # crop windows >= ~240; the serving loop
+                                # stages a smaller host-side calibration
+                                # window (margin-16 bbox) when cropping —
+                                # overrides are weight-space, scales
+                                # still calibrate on x[0] at the full
+                                # serving shape
+                                hint = getattr(
+                                    self, "_int8_calib_hint", None)
+                                if (hint is not None
+                                        and hint[0].size < x[0].size):
+                                    extra = dict(
+                                        extra, calib_batch=hint)
                             qfn = builder(
                                 self.params["model_class"], variables,
                                 x[0],
@@ -954,21 +969,28 @@ class Model:
                             # build failures (e.g. the axon
                             # remote-compile body limit) must fall
                             # back like shape failures, not crash
-                            # the serving loop. After an HBM
-                            # RESOURCE_EXHAUSTED the failed build's
-                            # buffers survive in the jit caches —
-                            # purge them or every later allocation
-                            # (even the bf16 fallback's inputs) OOMs
-                            # too (round-5 serve run).
-                            if isinstance(e, jax.errors.JaxRuntimeError):
-                                import gc
-
-                                gc.collect()
-                                jax.clear_caches()
+                            # the serving loop.
+                            purge = isinstance(
+                                e, jax.errors.JaxRuntimeError)
                             print(
                                 f"{label} engine unavailable ({e}); "
                                 "trying the next serving mode."
                             )
+                        else:
+                            purge = False
+                        # purge AFTER the handler exits: while inside
+                        # the except block the live exception's
+                        # traceback pins the failed build's frames (the
+                        # OOM'd activation ladders), so a gc there
+                        # frees nothing and even the bf16 fallback's
+                        # uploads kept OOMing (round-5 serve runs).
+                        # Python drops `e` + exc_info at block exit;
+                        # only then can the buffers actually release.
+                        if purge:
+                            import gc
+
+                            gc.collect()
+                            jax.clear_caches()
                     if q_by_shape[shape] is None:
                         print("serving the bf16 engine.")
                 fn = q_by_shape.get(shape) if use_q else None
@@ -1064,21 +1086,28 @@ class Model:
                             # build failures (e.g. the axon
                             # remote-compile body limit) must fall
                             # back like shape failures, not crash
-                            # the serving loop. After an HBM
-                            # RESOURCE_EXHAUSTED the failed build's
-                            # buffers survive in the jit caches —
-                            # purge them or every later allocation
-                            # (even the bf16 fallback's inputs) OOMs
-                            # too (round-5 serve run).
-                            if isinstance(e, jax.errors.JaxRuntimeError):
-                                import gc
-
-                                gc.collect()
-                                jax.clear_caches()
+                            # the serving loop.
+                            purge = isinstance(
+                                e, jax.errors.JaxRuntimeError)
                             print(
                                 f"{label} engine unavailable ({e}); "
                                 "trying the next patch-serving mode."
                             )
+                        else:
+                            purge = False
+                        # purge AFTER the handler exits: while inside
+                        # the except block the live exception's
+                        # traceback pins the failed build's frames (the
+                        # OOM'd activation ladders), so a gc there
+                        # frees nothing and even the bf16 fallback's
+                        # uploads kept OOMing (round-5 serve runs).
+                        # Python drops `e` + exc_info at block exit;
+                        # only then can the buffers actually release.
+                        if purge:
+                            import gc
+
+                            gc.collect()
+                            jax.clear_caches()
                     else:
                         print("serving patches on the bf16 engine.")
                 sw_state["fn"] = make_sliding_window_fn(
@@ -1238,6 +1267,30 @@ class Model:
 
         def dispatch_one(batch, cropped, crop_info):
             """Upload one (1, D, H, W) volume, dispatch, enqueue fetch."""
+            if (self.params.get("use_int8")
+                    and self.params.get("int8_adaquant")):
+                # host-side AdaQuant calibration hint: the margin-16
+                # bbox window of this volume (+ the atlas slice at the
+                # same canvas offsets) — lets the int8 builder run the
+                # memory-hungry rounding simulation on a window that
+                # fits HBM even when the serving window doesn't
+                self._int8_calib_hint = None
+                plan16 = foreground.plan_crop(
+                    cropped[0], margin=min(16, fg_margin),
+                    multiple=multiple,
+                )
+                if plan16 is not None:
+                    sl16 = foreground.crop_slices(*plan16)
+                    chans = [cropped[0][sl16]]
+                    if atlas_p is not None:
+                        g_offs = (tuple(
+                            o + p for o, p in zip(crop_info[0], plan16[0])
+                        ) if crop_info is not None else plan16[0])
+                        chans.append(np.asarray(atlas_p)[
+                            foreground.crop_slices(g_offs, plan16[1])
+                        ])
+                    self._int8_calib_hint = np.stack(
+                        chans, -1).astype(np.float32)[None]
             up = _t("upload", _upload, cropped)
             out = _t("dispatch", lambda: _hardify(
                 predict(variables, up, crop_info[0])

@@ -504,9 +504,25 @@ def main():
                         MODEL, variables, calib_crop)
                 # the SHIPPING int8 serving config (b_int8_adaquant
                 # defaults True): AdaQuant weight rounding calibrated on
-                # the crop — the parity the headline mode actually serves
+                # the crop — the parity the headline mode actually
+                # serves. The rounding SIMULATION (f32 activation
+                # ladder) OOMs the 16 GB chip at windows >= 240, so it
+                # runs on the margin-16 window of the same calibration
+                # skull — overrides are weight-space; the activation
+                # scales still calibrate at the full serving window
+                # (build_predict_q_opt separates the two).
+                aq_kw = {}
+                if int(np.prod(sizes)) > 224 * 208 * 208:
+                    splan = foreground.plan_crop(
+                        calib_np, margin=16, multiple=16)
+                    s_sl = foreground.crop_slices(*splan)
+                    aq_kw["calib_batch"] = np.stack(
+                        [calib_np[s_sl], atlas_s[s_sl]], -1)[None]
+                    crop_cols[f"crop_aq_calib{sfx}"] = (
+                        f"rounding simulated at {splan[1]} "
+                        f"(margin-16 window), scales at {sizes}")
                 q_by_sizes[(sizes, "aq")] = engine_q.build_predict_q_opt(
-                    MODEL, variables, calib_crop)
+                    MODEL, variables, calib_crop, **aq_kw)
 
             labels = (
                 [("int8_aq", q_by_sizes[(sizes, "aq")])] if aq_only else
