@@ -144,6 +144,14 @@ def main() -> None:
             "volumes_per_sec_marginal": (
                 round((n - 1) / span, 3) if span > 0 else None
             ),
+            # steady state: rate over the second half of the outputs —
+            # the first half absorbs the lazy engine builds and the
+            # scan-shape compiles (with --scan, group 1 warms the
+            # engine and compiles scan K-1, group 2 compiles scan K)
+            "volumes_per_sec_tail": (
+                round((n - n // 2) / (mtimes[-1] - mtimes[n // 2 - 1]), 3)
+                if n >= 4 and mtimes[-1] > mtimes[n // 2 - 1] else None
+            ),
         }))
     finally:
         shutil.rmtree(root, ignore_errors=True)
